@@ -1,0 +1,159 @@
+"""Frozen, hashable configuration pytrees.
+
+Defaults mirror the reference's ROS-parameter defaults so identical inputs
+yield comparable trajectories:
+  * LiDAR / voxel / ICP params: reference include/limu/sensors/lidar/frame.hpp:64-80
+  * IMU params:                 reference include/limu/sensors/imu/frame.hpp:43-49
+  * EKF noise params:           reference src/odom_run.cpp:19-35
+
+Known reference bug NOT copied: odom_run.cpp:35 stores the "init_ori_noise"
+parameter into `init_bga_noise`, silently clobbering the gyro-bias prior.
+Here `init_ori_noise` is its own field with the intended default
+(0.01 * init_ori_trail_noise) and `init_bga_noise` keeps its 1e-3 default.
+
+All dataclasses are frozen so they can be passed as jit static arguments.
+Capacities (`*_capacity`, `max_points`) are the static-shape budget that
+replaces the reference's dynamic containers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+GRAVITY = 9.81  # reference include/common.hpp:16
+
+
+@dataclasses.dataclass(frozen=True)
+class LidarConfig:
+    """Scan preprocessing parameters (reference lidar/frame.hpp:64-80)."""
+
+    frame_rate: float = 10.0
+    max_range: float = 100.0
+    min_range: float = 5.0
+    min_angle: float = 0.0
+    max_angle: float = 360.0
+    num_scan_lines: int = 16
+    frame_split_num: int = 1
+    # static-shape budget: max raw points per scan message
+    max_points: int = 131072
+
+    @property
+    def angle_limit(self) -> float:
+        return self.max_angle - self.min_angle
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Voxel-hash local map parameters (reference lidar/frame.hpp:72-74).
+
+    The reference's tsl::robin_map grows dynamically; here the map is a
+    fixed-capacity open-addressing table living in device memory.
+    `capacity` is the number of buckets (power of two), `max_points_per_voxel`
+    the per-bucket point budget (reference default 10).
+    """
+
+    voxel_size: float = 1.0  # reference default: max_range / 100
+    max_points_per_voxel: int = 10
+    max_range: float = 100.0
+    capacity: int = 1 << 17  # buckets; ~1.3M points at 10/voxel
+    max_probes: int = 32  # linear-probe bound for insert/query
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """Registration parameters (reference lidar/frame.hpp:76-80, icp.cpp)."""
+
+    deskew: bool = False
+    min_motion_th: float = 0.1
+    max_iterations: int = 500
+    initial_threshold: float = 2.0
+    estimation_threshold: float = 1e-4
+    # static-shape budgets for the two downsample stages
+    # (map insert @0.5*voxel, ICP source @1.5*voxel; reference icp.cpp:126-135)
+    max_map_points: int = 32768  # downsample fed to the map
+    max_source_points: int = 8192  # ICP source after second downsample + IQR
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuConfig:
+    """IMU preprocessing (reference imu/frame.hpp:43-49, imu/frame.cpp:6)."""
+
+    reset: int = 100  # running-mean window for raw acc
+    coordinate: str = "ned"  # "ned" or "enu" axis remap
+    max_init_count: int = 200  # static-init sample budget (imu/frame.cpp:6)
+    max_samples_per_scan: int = 64  # static-shape budget per scan packet
+
+
+@dataclasses.dataclass(frozen=True)
+class EkfConfig:
+    """Error-state EKF noise parameters (reference src/odom_run.cpp:19-35).
+
+    State layout (reference include/limu/kalman/ekf.hpp:14-54):
+      pos(3) vel(3) quat(4) bga(3) baa(3) bat(3) grav(3)
+      t_imu_lidar(3) q_imu_lidar(4) time_shift(1)  -> 30 inner dims
+      + lidar_pose_trail * 7 trailing poses        -> 170 total (trail=20)
+    """
+
+    lidar_pose_trail: int = 20
+    noise_scale: float = 100.0
+    init_pos_noise: float = 1e-5
+    init_vel_noise: float = 0.1
+    init_ori_noise: float = 0.01 * 3.1622776  # intended default; see module doc
+    init_bga_noise: float = 1e-3
+    init_baa_noise: float = 1e-6
+    init_bat_noise: float = 1e-5
+    acc_process_noise: float = 0.03
+    gyro_process_noise: float = 0.00017
+    acc_process_noise_rev: float = 0.1
+    gyro_process_noise_rev: float = 0.1
+    init_pos_trail_noise: float = 100.0
+    init_ori_trail_noise: float = 3.1622776
+    init_lidar_imu_time_noise: float = 1e-5
+    visual_zupt_r: float = 1e-5
+    zupt_speed_threshold: float = 1e-3  # reference ekf.cpp:684
+    zupt_min_interval: float = 0.25  # seconds, reference ekf.cpp:662
+
+    @property
+    def inner_dim(self) -> int:
+        return 30
+
+    @property
+    def state_dim(self) -> int:
+        return 30 + 7 * self.lidar_pose_trail
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level odometry pipeline configuration."""
+
+    lidar: LidarConfig = dataclasses.field(default_factory=LidarConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    icp: IcpConfig = dataclasses.field(default_factory=IcpConfig)
+    imu: ImuConfig = dataclasses.field(default_factory=ImuConfig)
+    ekf: EkfConfig = dataclasses.field(default_factory=EkfConfig)
+    min_scan_count: int = 20  # frame-split warmup gate (reference frame.cpp:5)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def kitti_64beam() -> PipelineConfig:
+    """Config for KITTI HDL-64E sequences (BASELINE.json config 2)."""
+    return PipelineConfig(
+        lidar=LidarConfig(num_scan_lines=64, max_points=131072, min_range=2.5),
+        icp=IcpConfig(deskew=True),
+    )
+
+
+def livox_dense() -> PipelineConfig:
+    """Config for dense solid-state scans, 200k+ pts (BASELINE.json config 4)."""
+    return PipelineConfig(
+        lidar=LidarConfig(num_scan_lines=6, max_points=262144),
+        map=MapConfig(capacity=1 << 18),
+        icp=IcpConfig(max_map_points=65536, max_source_points=16384),
+    )
+
+
+def default() -> PipelineConfig:
+    return PipelineConfig()

@@ -1,0 +1,153 @@
+"""Synthetic LiDAR/IMU world simulator.
+
+The reference was validated only by eyeballing rosbag playback (SURVEY §4);
+this module is the deterministic "fake backend" the reference lacks: a known
+trajectory through a known world, producing scans (and IMU streams) whose
+recovered poses can be asserted against ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import GRAVITY
+
+
+def make_world(
+    seed: int = 0,
+    n_points: int = 120_000,
+    extent=(120.0, 30.0, 8.0),
+) -> np.ndarray:
+    """Random structured world: two walls, ground, ceiling scatter + volume scatter."""
+    rng = np.random.default_rng(seed)
+    ex, ey, ez = extent
+    n_wall = n_points // 4
+
+    def plane(n, axis, value, jitter=0.05):
+        pts = np.empty((n, 3))
+        pts[:, 0] = rng.uniform(-10, ex, n)
+        pts[:, 1] = rng.uniform(-ey, ey, n)
+        pts[:, 2] = rng.uniform(0, ez, n)
+        pts[:, axis] = value + rng.normal(0, jitter, n)
+        return pts
+
+    walls = np.concatenate(
+        [
+            plane(n_wall, 1, -ey),
+            plane(n_wall, 1, ey),
+            plane(n_wall, 2, 0.0),
+        ]
+    )
+    scatter = np.stack(
+        [
+            rng.uniform(-10, ex, n_points - 3 * n_wall),
+            rng.uniform(-ey, ey, n_points - 3 * n_wall),
+            rng.uniform(0, ez, n_points - 3 * n_wall),
+        ],
+        axis=1,
+    )
+    return np.concatenate([walls, scatter]).astype(np.float64)
+
+
+def make_trajectory(
+    n_poses: int = 50,
+    speed: float = 1.0,
+    yaw_rate: float = 0.02,
+    dt: float = 0.1,
+    z: float = 2.0,
+) -> np.ndarray:
+    """Smooth forward trajectory with gentle yaw. Returns (N, 4, 4) f64."""
+    poses = np.zeros((n_poses, 4, 4))
+    x, y, yaw = 0.0, 0.0, 0.0
+    for i in range(n_poses):
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        T[:3, 3] = [x, y, z]
+        poses[i] = T
+        x += speed * dt * c
+        y += speed * dt * s
+        yaw += yaw_rate
+    return poses
+
+
+def render_scan(
+    world: np.ndarray,
+    pose: np.ndarray,
+    max_points: int,
+    min_range: float,
+    max_range: float,
+    noise: float = 0.01,
+    seed: int = 0,
+) -> np.ndarray:
+    """Points visible from `pose`, in the sensor frame, padded caller-side.
+
+    Returns (n, 3) f64 with n <= max_points.
+    """
+    rng = np.random.default_rng(seed)
+    rel = world - pose[:3, 3]
+    d = np.linalg.norm(rel, axis=1)
+    vis = (d > min_range * 1.05) & (d < max_range * 0.95)
+    idx = np.flatnonzero(vis)
+    if len(idx) > max_points:
+        idx = rng.choice(idx, size=max_points, replace=False)
+    pts_w = world[idx]
+    R, t = pose[:3, :3], pose[:3, 3]
+    pts_s = (pts_w - t) @ R  # R^T (p - t)
+    pts_s = pts_s + rng.normal(0, noise, pts_s.shape)
+    return pts_s
+
+
+def make_imu_stream(
+    poses: np.ndarray,
+    scan_dt: float,
+    imu_rate: float = 200.0,
+    accel_noise: float = 0.0,
+    gyro_noise: float = 0.0,
+    seed: int = 0,
+):
+    """Ideal IMU samples consistent with the pose sequence.
+
+    Returns (times (M,), gyro (M,3), accel (M,3)) — accel includes gravity
+    reaction (specific force), in the body frame, NED-style +g when at rest.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(poses)
+    total_t = (n - 1) * scan_dt
+    m = int(total_t * imu_rate) + 1
+    times = np.arange(m) / imu_rate
+
+    # finite-difference world velocities/accelerations of the pose spline
+    pos = poses[:, :3, 3]
+    pose_times = np.arange(n) * scan_dt
+    vel = np.gradient(pos, pose_times, axis=0)
+    acc = np.gradient(vel, pose_times, axis=0)
+
+    gyro = np.zeros((m, 3))
+    accel = np.zeros((m, 3))
+    g_world = np.array([0.0, 0.0, -GRAVITY])
+    for i, t in enumerate(times):
+        k = min(int(t / scan_dt), n - 2)
+        a = t / scan_dt - k
+        R0, R1 = poses[k, :3, :3], poses[k + 1, :3, :3]
+        # body rate from relative rotation
+        dR = R0.T @ R1
+        ang = _log_so3(dR) / scan_dt
+        R = R0  # piecewise-constant orientation is fine for tests
+        a_w = (1 - a) * acc[k] + a * acc[min(k + 1, n - 1)]
+        accel[i] = R.T @ (a_w - g_world) + rng.normal(0, accel_noise, 3)
+        gyro[i] = ang + rng.normal(0, gyro_noise, 3)
+    return times, gyro, accel
+
+
+def _log_so3(R: np.ndarray) -> np.ndarray:
+    cos = np.clip((np.trace(R) - 1) / 2, -1, 1)
+    theta = np.arccos(cos)
+    if theta < 1e-10:
+        return np.zeros(3)
+    w = (
+        np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        / (2 * np.sin(theta))
+        * theta
+    )
+    return w

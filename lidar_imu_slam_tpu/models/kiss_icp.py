@@ -1,0 +1,188 @@
+"""KISS-ICP-style LiDAR odometry as one jit-compiled functional step.
+
+This is the path the reference actually wires end-to-end
+(reference src/odom_run.cpp:154-185 -> src/sensors/lidar/icp.cpp:49-86):
+constant-velocity deskew, double voxel downsample, IQR outlier rejection,
+adaptive-threshold robust ICP against the voxel-hash local map, map update.
+
+The reference spreads this over callback threads, mutex deques and a mutable
+KissICP object; here the entire odometry is
+
+    state' , out = register_frame(state, scan, cfg)
+
+with `state` a pytree (fixed-capacity map + last two poses + threshold
+stats) — jit/vmap/scan/shard_map-safe, checkpointable with orbax as-is.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..ops import deskew as deskew_ops
+from ..ops import icp as icp_ops
+from ..ops import lie, stats, voxel_map
+from ..ops.preprocess import Scan
+
+
+class KissState(NamedTuple):
+    map: voxel_map.VoxelMap
+    pose: jnp.ndarray  # (4,4) f64 — T_{n-1} (latest)
+    pose_prev: jnp.ndarray  # (4,4) f64 — T_{n-2}
+    first_pose: jnp.ndarray  # (4,4) f64 — poses.front() for has_moved
+    num_poses: jnp.ndarray  # () i32
+    threshold: icp_ops.ThresholdState
+
+
+class FrameOutput(NamedTuple):
+    pose: jnp.ndarray  # (4,4) f64 world pose of this scan
+    keypoints: jnp.ndarray  # (S,3) f32 ICP source (sensor frame)
+    keypoints_mask: jnp.ndarray  # (S,)
+    deskewed: jnp.ndarray  # (M,3) f32 map-insert downsample (sensor frame)
+    deskewed_mask: jnp.ndarray  # (M,)
+    icp_iterations: jnp.ndarray  # () i32
+    num_correspondences: jnp.ndarray  # () i32
+    residual_rms: jnp.ndarray  # () f64
+    sigma: jnp.ndarray  # () f64 adaptive threshold used
+    map_voxels: jnp.ndarray  # () i32
+
+
+def init_state(cfg: PipelineConfig) -> KissState:
+    eye = jnp.eye(4, dtype=jnp.float64)
+    return KissState(
+        map=voxel_map.create(cfg.map),
+        pose=eye,
+        pose_prev=eye,
+        first_pose=eye,
+        num_poses=jnp.int32(0),
+        threshold=icp_ops.threshold_init(),
+    )
+
+
+def has_moved(state: KissState, min_motion_th: float) -> jnp.ndarray:
+    """Reference icp.cpp:156-163: ||(first^-1 last).t|| > 5 * min_motion_th."""
+    rel = lie.transform_inverse(state.first_pose) @ state.pose
+    motion = jnp.linalg.norm(rel[:3, 3])
+    return (state.num_poses > 0) & (motion > 5.0 * min_motion_th)
+
+
+def get_prediction_model(state: KissState) -> jnp.ndarray:
+    """T_{n-2}^-1 T_{n-1} (reference icp.cpp:146-154)."""
+    pred = lie.transform_inverse(state.pose_prev) @ state.pose
+    return jnp.where(state.num_poses < 2, jnp.eye(4, dtype=jnp.float64), pred)
+
+
+def voxelize(points, mask, cfg: PipelineConfig):
+    """Double downsample + IQR (reference icp.cpp:88-135).
+
+    Returns (source, source_mask, map_points, map_mask): `map_points` is the
+    0.5*voxel downsample inserted into the map; `source` the 1.5*voxel
+    downsample after Tukey-fence range-outlier rejection, fed to ICP.
+    """
+    vox = cfg.map.voxel_size
+    map_pts, map_mask, _ = voxel_map.first_point_per_voxel(
+        points, mask, 0.5 * vox, cfg.icp.max_map_points
+    )
+    src, src_mask, _ = voxel_map.first_point_per_voxel(
+        map_pts, map_mask, 1.5 * vox, cfg.icp.max_source_points
+    )
+    d_sq = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1)
+    src_mask = stats.iqr_inlier_mask(d_sq.astype(jnp.float64), src_mask)
+    return src, src_mask, map_pts, map_mask
+
+
+def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
+    """One odometry step (reference icp.cpp:49-86). Returns (state', FrameOutput)."""
+    # 1. constant-velocity deskew, gated on config and >= 3 poses
+    #    (reference icp.cpp:36-47)
+    do_deskew = jnp.asarray(cfg.icp.deskew) & (state.num_poses > 2)
+    deskewed_xyz = jax.lax.cond(
+        do_deskew,
+        lambda: deskew_ops.constant_velocity_deskew(
+            scan.xyz, scan.tau, state.pose_prev, state.pose
+        ),
+        lambda: scan.xyz,
+    )
+
+    # 2. double voxel downsample + IQR source cleanup
+    source, source_mask, map_pts, map_mask = voxelize(deskewed_xyz, scan.mask, cfg)
+
+    # 3. adaptive sigma (accumulates previous frame's model deviation)
+    moved = has_moved(state, cfg.icp.min_motion_th)
+    thr_state, sigma = icp_ops.compute_threshold(
+        state.threshold,
+        moved,
+        cfg.icp.initial_threshold,
+        cfg.icp.min_motion_th,
+        cfg.map.max_range,
+    )
+
+    # 4. constant-velocity prediction as initial guess
+    last_pose = jnp.where(
+        state.num_poses == 0, jnp.eye(4, dtype=jnp.float64), state.pose
+    )
+    init_guess = last_pose @ get_prediction_model(state)
+
+    # 5. robust GN-ICP (max_corr = 3 sigma, kernel = sigma/3; icp.cpp:74-76)
+    result = icp_ops.icp_registration(
+        state.map,
+        source,
+        source_mask,
+        init_guess,
+        3.0 * sigma,
+        sigma / 3.0,
+        cfg.map,
+        cfg.icp.max_iterations,
+        cfg.icp.estimation_threshold,
+    )
+    new_pose = result.pose
+
+    # 6. model deviation for the next frame's threshold (icp.cpp:78-79)
+    model_dev = lie.transform_inverse(init_guess) @ new_pose
+    thr_state = icp_ops.update_model_deviation(thr_state, model_dev)
+
+    # 7. map update with the dense downsample (icp.cpp:81)
+    new_map = voxel_map.update(state.map, map_pts, map_mask, new_pose, cfg.map)
+
+    # 8. pose bookkeeping (icp.cpp:82)
+    new_state = KissState(
+        map=new_map,
+        pose=new_pose,
+        pose_prev=jnp.where(state.num_poses == 0, new_pose, state.pose),
+        first_pose=jnp.where(state.num_poses == 0, new_pose, state.first_pose),
+        num_poses=state.num_poses + 1,
+        threshold=thr_state,
+    )
+    out = FrameOutput(
+        pose=new_pose,
+        keypoints=source,
+        keypoints_mask=source_mask,
+        deskewed=map_pts,
+        deskewed_mask=map_mask,
+        icp_iterations=result.iterations,
+        num_correspondences=result.num_correspondences,
+        residual_rms=result.residual_rms,
+        sigma=sigma,
+        map_voxels=voxel_map.num_voxels(new_map),
+    )
+    return new_state, out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_frame_jit(state: KissState, scan: Scan, cfg: PipelineConfig):
+    return register_frame(state, scan, cfg)
+
+
+def current_velocity(state: KissState, scan_duration: float, min_motion_th: float):
+    """(linear, angular) velocity from the last two poses (reference icp.cpp:165-172)."""
+    twist = lie.delta_pose(state.pose_prev, state.pose) / scan_duration
+    moved = has_moved(state, min_motion_th)
+    zeros = jnp.zeros(3, dtype=jnp.float64)
+    return (
+        jnp.where(moved, twist[:3], zeros),
+        jnp.where(moved, twist[3:], zeros),
+    )

@@ -1,0 +1,183 @@
+"""Robust point-to-point Gauss-Newton ICP against the voxel-hash map.
+
+Replaces the reference's TBB parallel_reduce + Eigen LDLT inner loop
+(reference src/sensors/lidar/helpers/registration.cpp) with masked batched
+reductions: per-point Jacobians [I | -hat(p)] never materialize; the 6x6
+normal equations are accumulated directly from closed-form blocks. The
+data-dependent iteration count becomes a `lax.while_loop` with the
+reference's convergence predicate ||log(estimate)|| < eps
+(registration.cpp:124) and iteration cap.
+
+Also here: the KISS-ICP adaptive threshold as a pure running-stat update
+(reference src/sensors/lidar/helpers/threshold.cpp).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MapConfig
+from . import lie, voxel_map
+from .precise import sin_
+
+
+def robust_weight(res_sq: jnp.ndarray, th) -> jnp.ndarray:
+    """KISS-ICP kernel th^2 / (th + r^2)^2 (reference registration.cpp:57-58)."""
+    return (th * th) / jnp.square(th + res_sq)
+
+
+def align_clouds(src, tgt, corr_mask, kernel_th):
+    """One Gauss-Newton step: weighted point-to-point normal equations.
+
+    src/tgt: (N, 3); corr_mask selects valid correspondences. Returns the
+    (4, 4) f64 SE(3) increment exp(solve(JtWJ, -JtWr)) (reference
+    registration.cpp:43-92). Accumulation is f64: the reference is all-f64
+    Eigen and world coordinates are large.
+    """
+    s = src.astype(jnp.float64)
+    r = s - tgt.astype(jnp.float64)
+    res_sq = jnp.sum(r * r, axis=-1)
+    w = jnp.where(corr_mask, robust_weight(res_sq, kernel_th), 0.0)
+
+    # J = [I | -hat(s)] per point. Closed-form blocks of JtWJ / JtWr:
+    sw = jnp.sum(w)
+    ws = w[:, None] * s
+    wr = w[:, None] * r
+    A = sw * jnp.eye(3, dtype=jnp.float64)  # sum w * I
+    B = -lie.hat(jnp.sum(ws, axis=0))  # sum w * (-hat(s))
+    ss = jnp.einsum("n,ni,nj->ij", w, s, s)
+    D = jnp.trace(ss) * jnp.eye(3, dtype=jnp.float64) - ss  # sum w (|s|^2 I - s s^T)
+    JtWJ = jnp.block([[A, B], [B.T, D]])
+
+    top = jnp.sum(wr, axis=0)
+    bottom = jnp.sum(jnp.cross(ws, r), axis=0)  # sum w (s x r)
+    JtWr = jnp.concatenate([top, bottom])
+
+    # SPD system: Cholesky solve (f64 LU is unsupported by the TPU compiler;
+    # the reference's LDLT on an SPD matrix is numerically equivalent).
+    ridge = 1e-9 * (1.0 + jnp.max(jnp.abs(jnp.diagonal(JtWJ))))
+    L = jnp.linalg.cholesky(JtWJ + ridge * jnp.eye(6, dtype=jnp.float64))
+    x = jax.scipy.linalg.cho_solve((L, True), -JtWr)
+    x = jnp.where(sw > 0, x, jnp.zeros_like(x))
+    return lie.se3_exp(x)
+
+
+class IcpResult(NamedTuple):
+    pose: jnp.ndarray  # (4, 4) f64
+    iterations: jnp.ndarray  # () i32
+    num_correspondences: jnp.ndarray  # () i32 — from the last iteration
+    residual_rms: jnp.ndarray  # () f64 — last-iteration inlier RMS distance
+
+
+def icp_registration(
+    m: voxel_map.VoxelMap,
+    points,  # (N, 3) f32 sensor-frame source
+    mask,  # (N,) bool
+    init_guess,  # (4, 4) f64
+    max_corresp_dist,
+    kernel_th,
+    map_cfg: MapConfig,
+    max_iterations: int,
+    estimation_threshold: float,
+) -> IcpResult:
+    """The ICP loop (reference registration.cpp:94-130).
+
+    Recomputes world-frame points from the composed transform each iteration
+    (equivalent to the reference's incremental re-transform), finds
+    correspondences in the map, and composes GN increments until the twist
+    norm of the last increment drops below `estimation_threshold`.
+    """
+    max_d2 = max_corresp_dist * max_corresp_dist
+
+    def one_iteration(T_icp):
+        T = T_icp @ init_guess
+        world = lie.transform_points(T, points.astype(jnp.float64))
+        nn, d2, found = voxel_map.nearest_neighbors(
+            m, world.astype(jnp.float32), mask, map_cfg
+        )
+        corr = found & (d2 < max_d2)
+        estimate = align_clouds(world, nn, corr, kernel_th)
+        n_corr = jnp.sum(corr, dtype=jnp.int32)
+        rms = jnp.sqrt(
+            jnp.sum(jnp.where(corr, d2, 0.0)) / jnp.maximum(n_corr, 1)
+        ).astype(jnp.float64)
+        return estimate, n_corr, rms
+
+    def cond(state):
+        j, _, converged, _, _ = state
+        return (j < max_iterations) & ~converged
+
+    def body(state):
+        j, T_icp, _, _, _ = state
+        estimate, n_corr, rms = one_iteration(T_icp)
+        T_new = estimate @ T_icp
+        converged = jnp.linalg.norm(lie.se3_log(estimate)) < estimation_threshold
+        return j + 1, T_new, converged, n_corr, rms
+
+    init = (
+        jnp.int32(0),
+        jnp.eye(4, dtype=jnp.float64),
+        jnp.asarray(False),
+        jnp.int32(0),
+        jnp.float64(0.0),
+    )
+    j, T_icp, _, n_corr, rms = jax.lax.while_loop(cond, body, init)
+
+    # empty map: return the guess untouched (reference registration.cpp:99-100)
+    empty = voxel_map.num_voxels(m) == 0
+    pose = jnp.where(empty, init_guess, T_icp @ init_guess)
+    return IcpResult(pose, j, n_corr, rms)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive threshold (reference threshold.cpp, threshold.hpp)
+# ---------------------------------------------------------------------------
+
+
+class ThresholdState(NamedTuple):
+    model_error_sq: jnp.ndarray  # () f64 running sum
+    num_samples: jnp.ndarray  # () i32
+    model_deviation: jnp.ndarray  # (4, 4) f64
+
+
+def threshold_init() -> ThresholdState:
+    return ThresholdState(
+        jnp.float64(0.0), jnp.int32(0), jnp.eye(4, dtype=jnp.float64)
+    )
+
+
+def compute_model_error(model_dev, max_range):
+    """2 * max_range * sin(theta/2) + ||t|| (reference threshold.cpp:5-12)."""
+    theta = jnp.linalg.norm(lie.so3_log(model_dev[:3, :3]))
+    return 2.0 * max_range * sin_(theta / 2.0) + jnp.linalg.norm(model_dev[:3, 3])
+
+
+def compute_threshold(
+    state: ThresholdState,
+    has_moved,
+    initial_threshold: float,
+    min_motion_th: float,
+    max_range: float,
+):
+    """Functional version of get_adaptive_threshold (reference icp.cpp:138-144
+    + threshold.cpp:16-29): accumulates the previous frame's model deviation
+    and returns sigma. When not yet moved, returns the initial threshold and
+    leaves the stats untouched.
+    """
+    err = compute_model_error(state.model_deviation, max_range)
+    accumulate = has_moved & (err > min_motion_th)
+    new_sum = jnp.where(accumulate, state.model_error_sq + err * err, state.model_error_sq)
+    new_n = jnp.where(accumulate, state.num_samples + 1, state.num_samples)
+
+    sigma_adaptive = jnp.sqrt(new_sum / jnp.maximum(new_n, 1))
+    sigma = jnp.where(
+        has_moved & (new_n >= 1), sigma_adaptive, jnp.float64(initial_threshold)
+    )
+    return ThresholdState(new_sum, new_n, state.model_deviation), sigma
+
+
+def update_model_deviation(state: ThresholdState, deviation) -> ThresholdState:
+    return ThresholdState(state.model_error_sq, state.num_samples, deviation)

@@ -1,0 +1,338 @@
+"""SO(3)/SE(3)/quaternion math in pure JAX (replaces Sophus + Eigen).
+
+Conventions
+-----------
+* Quaternions are (w, x, y, z), matching the reference EKF state layout
+  (reference include/limu/kalman/ekf.hpp:21-29).
+* SE(3) tangent vectors are [v(3), w(3)] — translation part first — matching
+  Sophus' exp/log convention used throughout the reference
+  (reference src/utils/calculation_helpers.cpp:116-119).
+* Poses are (4, 4) homogeneous matrices in f64.
+
+All functions are closed form (Rodrigues etc.) with Taylor guards near zero
+angle, so nothing here needs `expm` — including the EKF's quaternion
+propagator A = exp(S(w)*dt), which the reference computes with Eigen's
+unsupported MatrixFunctions (reference src/kalman/ekf.cpp:471-484, :266-267);
+here it is exact via the pure-quaternion identity Xi(w)^2 = -|w|^2 I.
+
+Functions accept arbitrary leading batch dimensions unless noted.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+from .precise import atan2_, cos_, sin_, tan_  # noqa: F401 (re-exported)
+
+
+def hat(w: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric matrix from (..., 3) vector (reference calculation_helpers.cpp:110-114)."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -wz, wy], axis=-1),
+            jnp.stack([wz, zero, -wx], axis=-1),
+            jnp.stack([-wy, wx, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def vee(W: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `hat`: (..., 3, 3) skew matrix -> (..., 3) vector."""
+    return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
+
+
+def _sinc(theta: jnp.ndarray) -> jnp.ndarray:
+    """sin(theta)/theta with Taylor guard."""
+    small = theta * theta < _EPS
+    safe = jnp.where(small, 1.0, theta)
+    return jnp.where(small, 1.0 - theta * theta / 6.0, sin_(safe) / safe)
+
+
+def _one_minus_cos_over_sq(theta: jnp.ndarray) -> jnp.ndarray:
+    """(1 - cos(theta)) / theta^2 with Taylor guard."""
+    sq = theta * theta
+    small = sq < _EPS
+    safe = jnp.where(small, 1.0, sq)
+    return jnp.where(small, 0.5 - sq / 24.0, (1.0 - cos_(theta)) / safe)
+
+
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: (..., 3) rotation vector -> (..., 3, 3) rotation matrix."""
+    theta = jnp.linalg.norm(w, axis=-1)
+    W = hat(w)
+    W2 = W @ W
+    a = _sinc(theta)[..., None, None]
+    b = _one_minus_cos_over_sq(theta)[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + a * W + b * W2
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) rotation matrix -> (..., 3) rotation vector (pi-robust via quaternion)."""
+    return quat_log(rot_to_quat(R))
+
+
+def _so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
+    """V(w) such that se3_exp([v, w]) has translation V(w) @ v."""
+    theta = jnp.linalg.norm(w, axis=-1)
+    W = hat(w)
+    W2 = W @ W
+    sq = theta * theta
+    small = sq < _EPS
+    safe_sq = jnp.where(small, 1.0, sq)
+    safe_cube = jnp.where(small, 1.0, sq * theta)
+    b = jnp.where(small, 0.5 - sq / 24.0, (1.0 - cos_(theta)) / safe_sq)
+    c = jnp.where(small, 1.0 / 6.0 - sq / 120.0, (theta - sin_(theta)) / safe_cube)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + b[..., None, None] * W + c[..., None, None] * W2
+
+
+def _so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
+    theta = jnp.linalg.norm(w, axis=-1)
+    W = hat(w)
+    W2 = W @ W
+    sq = theta * theta
+    small = sq < _EPS
+    half = jnp.where(small, 1.0, theta / 2.0)
+    # 1/theta^2 - (1+cos)/(2 theta sin) == (1/theta^2)(1 - (theta/2)/tan(theta/2))
+    cot = jnp.where(small, 1.0, half / tan_(half))
+    coeff = jnp.where(small, 1.0 / 12.0 + sq / 720.0, (1.0 - cot) / jnp.where(small, 1.0, sq))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye - 0.5 * W + coeff[..., None, None] * W2
+
+
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6) twist [v, w] -> (..., 4, 4) homogeneous transform (Sophus convention)."""
+    v, w = xi[..., :3], xi[..., 3:]
+    R = so3_exp(w)
+    t = (_so3_left_jacobian(w) @ v[..., None])[..., 0]
+    return make_transform(R, t)
+
+
+def se3_log(T: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4, 4) transform -> (..., 6) twist [v, w]."""
+    R, t = T[..., :3, :3], T[..., :3, 3]
+    w = so3_log(R)
+    v = (_so3_left_jacobian_inv(w) @ t[..., None])[..., 0]
+    return jnp.concatenate([v, w], axis=-1)
+
+
+def make_transform(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Assemble (..., 4, 4) from (..., 3, 3) rotation and (..., 3) translation."""
+    batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])
+    T = jnp.zeros(batch + (4, 4), dtype=R.dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(t)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
+
+
+def transform_inverse(T: jnp.ndarray) -> jnp.ndarray:
+    R, t = T[..., :3, :3], T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    return make_transform(Rt, -(Rt @ t[..., None])[..., 0])
+
+
+def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply (4, 4) transform to (..., 3) points (reference calculation_helpers.cpp:121-133)."""
+    R, t = T[..., :3, :3], T[..., :3, 3]
+    return pts @ jnp.swapaxes(R, -1, -2).astype(pts.dtype) + t.astype(pts.dtype)
+
+
+def delta_pose(T_first: jnp.ndarray, T_last: jnp.ndarray) -> jnp.ndarray:
+    """log(T_first^-1 @ T_last) (reference calculation_helpers.cpp:99-102)."""
+    return se3_log(transform_inverse(T_first) @ T_last)
+
+
+# ---------------------------------------------------------------------------
+# Quaternions (w, x, y, z)
+# ---------------------------------------------------------------------------
+
+
+def quat_identity(dtype=jnp.float64) -> jnp.ndarray:
+    return jnp.array([1.0, 0.0, 0.0, 0.0], dtype=dtype)
+
+
+def quat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def quat_conj(q: jnp.ndarray) -> jnp.ndarray:
+    return q * jnp.array([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quat_normalize(q: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.where(n < _EPS, 1.0, n)
+
+
+def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit-norm-assumed quaternion -> rotation matrix (reference helper.hpp:10-17).
+
+    Matches Eigen's Quaternion::toRotationMatrix formula, which does NOT
+    normalize its input.
+    """
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    one = jnp.ones_like(w)
+    return jnp.stack(
+        [
+            jnp.stack([one - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], axis=-1),
+            jnp.stack([2 * (x * y + w * z), one - 2 * (x * x + z * z), 2 * (y * z - w * x)], axis=-1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), one - 2 * (x * x + y * y)], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def dquat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
+    """Analytic Jacobian of `quat_to_rot`: (..., 4, 3, 3), dR/dq_i stacked over i.
+
+    Replaces the reference's perturbation hack (reference helper.hpp:19-33,
+    which computes R(e_i) - R(q) — not a derivative). Using the true analytic
+    derivative of the unit-assumed rotation formula; documented deviation.
+    """
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    zero = jnp.zeros_like(w)
+
+    def m(rows):
+        return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+    dw = m([[zero, -2 * z, 2 * y], [2 * z, zero, -2 * x], [-2 * y, 2 * x, zero]])
+    dx = m([[zero, 2 * y, 2 * z], [2 * y, -4 * x, -2 * w], [2 * z, 2 * w, -4 * x]])
+    dy = m([[-4 * y, 2 * x, 2 * w], [2 * x, zero, 2 * z], [-2 * w, 2 * z, -4 * y]])
+    dz = m([[-4 * z, -2 * w, 2 * x], [2 * w, -4 * z, 2 * y], [2 * x, 2 * y, zero]])
+    return jnp.stack([dw, dx, dy, dz], axis=-3)
+
+
+def rot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) rotation -> (w, x, y, z) unit quaternion, branch-free (Shepperd)."""
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+
+    # Four candidate solutions; pick the numerically largest pivot.
+    tw = 1.0 + m00 + m11 + m22
+    tx = 1.0 + m00 - m11 - m22
+    ty = 1.0 - m00 + m11 - m22
+    tz = 1.0 - m00 - m11 + m22
+
+    def safe_sqrt(v):
+        return jnp.sqrt(jnp.maximum(v, 0.0))
+
+    # Pivot position carries t = s^2 so that t / (2 s) = s / 2, the correct
+    # pivot component; off-pivot entries are the standard (m_ij +- m_ji)/(2 s).
+    qw = jnp.stack([tw, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    qx = jnp.stack([m21 - m12, tx, m10 + m01, m02 + m20], axis=-1)
+    qy = jnp.stack([m02 - m20, m10 + m01, ty, m21 + m12], axis=-1)
+    qz = jnp.stack([m10 - m01, m02 + m20, m21 + m12, tz], axis=-1)
+
+    def finish(qc, t):
+        s = safe_sqrt(t)
+        denom = jnp.where(s < _EPS, 1.0, 2.0 * s)
+        return qc / denom[..., None]
+
+    cands = jnp.stack(
+        [finish(qw, tw), finish(qx, tx), finish(qy, ty), finish(qz, tz)], axis=-2
+    )  # (..., 4 candidates, 4)
+    pivots = jnp.stack([tw, tx, ty, tz], axis=-1)
+    best = jnp.argmax(pivots, axis=-1)
+    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+    # canonical sign: w >= 0
+    q = jnp.where(q[..., 0:1] < 0, -q, q)
+    return quat_normalize(q)
+
+
+def quat_log(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion -> rotation vector (..., 3)."""
+    q = jnp.where(q[..., 0:1] < 0, -q, q)  # shortest path
+    vec = q[..., 1:]
+    w = jnp.clip(q[..., 0], -1.0, 1.0)
+    n = jnp.linalg.norm(vec, axis=-1)
+    angle = 2.0 * atan2_(n, w)
+    scale = jnp.where(n < _EPS, 2.0 / jnp.where(w < _EPS, 1.0, w), angle / jnp.where(n < _EPS, 1.0, n))
+    return vec * scale[..., None]
+
+
+def quat_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rotation vector (..., 3) -> unit quaternion."""
+    theta = jnp.linalg.norm(w, axis=-1)
+    half = 0.5 * theta
+    s = 0.5 * _sinc(half)  # sin(theta/2)/theta
+    return jnp.concatenate([cos_(half)[..., None], w * s[..., None]], axis=-1)
+
+
+def quat_from_two_vectors(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion rotating a onto b (Eigen FromTwoVectors; reference ekf.cpp:197)."""
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), _EPS)
+    b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), _EPS)
+    c = jnp.sum(a * b, axis=-1)
+    axis = jnp.cross(a, b)
+    # handle antiparallel: pick any orthogonal axis
+    ortho = jnp.cross(a, jnp.where(jnp.abs(a[..., 0:1]) < 0.9, jnp.array([1.0, 0.0, 0.0], a.dtype), jnp.array([0.0, 1.0, 0.0], a.dtype)))
+    anti = c < -1.0 + 1e-9
+    w = jnp.sqrt(jnp.maximum(0.5 * (1.0 + c), 0.0))
+    n = jnp.linalg.norm(axis, axis=-1)
+    s = jnp.where(n < _EPS, 1.0, jnp.sqrt(jnp.maximum(0.5 * (1.0 - c), 0.0)) / jnp.where(n < _EPS, 1.0, n))
+    vec = axis * s[..., None]
+    q = jnp.concatenate([w[..., None], vec], axis=-1)
+    q_anti = jnp.concatenate([jnp.zeros_like(w[..., None]), ortho / jnp.maximum(jnp.linalg.norm(ortho, axis=-1, keepdims=True), _EPS)], axis=-1)
+    return quat_normalize(jnp.where(anti[..., None], q_anti, q))
+
+
+def quat_xi_matrix(w: jnp.ndarray) -> jnp.ndarray:
+    """The 4x4 'S' structure of the reference EKF (reference ekf.cpp:471-484).
+
+    S_struct(w) = [[0, -w0, -w1, -w2],
+                   [w0,  0, -w2,  w1],
+                   [w1,  w2,  0, -w0],
+                   [w2, -w1,  w0,  0]]
+    satisfying S_struct(w)^2 = -|w|^2 I.
+    """
+    w0, w1, w2 = w[..., 0], w[..., 1], w[..., 2]
+    z = jnp.zeros_like(w0)
+    return jnp.stack(
+        [
+            jnp.stack([z, -w0, -w1, -w2], axis=-1),
+            jnp.stack([w0, z, -w2, w1], axis=-1),
+            jnp.stack([w1, w2, z, -w0], axis=-1),
+            jnp.stack([w2, -w1, w0, z], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def quat_propagator(w: jnp.ndarray, dt) -> jnp.ndarray:
+    """Closed-form A = exp(S_struct(w) * (-dt/2)) (replaces Eigen ::exp(), ekf.cpp:266-267).
+
+    Since S_struct(w)^2 = -|w|^2 I, exp(c*S) = cos(c|w|) I + sinc(c|w|) * c * S.
+    """
+    c = -0.5 * jnp.asarray(dt)
+    theta = jnp.linalg.norm(w, axis=-1) * jnp.abs(c)
+    # exp(c S) with |c S| eigen-angle = |c| |w|
+    cw = jnp.linalg.norm(w, axis=-1) * c  # signed
+    eye = jnp.eye(4, dtype=w.dtype)
+    S = quat_xi_matrix(w)
+    a = cos_(theta)
+    b = _sinc(cw) * c  # sin(c|w|)/(c|w|) * c = sin(c|w|)/|w|, sign-correct
+    return a[..., None, None] * eye + b[..., None, None] * S
+
+
+def ang_vel_to_rot(w: jnp.ndarray, dt) -> jnp.ndarray:
+    """Rotation matrix of angular velocity over dt (reference helper.hpp:35-40)."""
+    return so3_exp(w * jnp.asarray(dt)[..., None] if jnp.ndim(dt) else w * dt)

@@ -1,0 +1,186 @@
+"""Static-shape LiDAR scan preprocessing (replaces reference frame::Lidar,
+src/sensors/lidar/frame.cpp:101-193).
+
+The reference mutates PCL clouds in callback threads; here a raw padded scan
+tensor goes through a single jit-able pipeline:
+
+  1. range gate + NaN drop (reference frame.cpp:143-145) -> validity mask
+  2. per-point relative time; constant-rotation fallback per ring when the
+     sensor provides no per-point timestamps (reference frame.cpp:128-133,
+     159-182)
+  3. sort by relative time (reference sort_clouds, frame.cpp:28-51)
+  4. segment split indices (reference split_clouds, frame.cpp:53-99)
+
+Deviations from the reference (documented, intentional):
+  * frame.cpp:156 adds a +0.1 s offset to every per-point time ("curvature"),
+    which after divide-by-max normalization yields tau in ~[0.5, 1] rather
+    than [0, 1]; combined with deskew's (tau - 0.5) factor this silently
+    halves motion compensation. We keep relative time anchored at scan start
+    so tau spans [0, 1].
+  * frame.cpp:69 starts the split loop at index 1, dropping the first point
+    of every scan; we keep it.
+  * the sequential per-ring monotonic wrap fix (frame.cpp:177-178) is replaced
+    by the equivalent closed form angle_diff mod angle_limit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LidarConfig
+
+
+class RawScan(NamedTuple):
+    """Padded raw scan message (host-packed).
+
+    xyz:        (N, 3) f32, sensor frame
+    time:       (N,)   f64, per-point absolute timestamp in seconds
+                (<= 0 everywhere means "no per-point time"; reference
+                frame.cpp:128 checks `points.back().timestamp > 0`)
+    ring:       (N,)   i32 scan line index
+    mask:       (N,)   bool, true for real (non-padding) points
+    stamp:      ()     f64 message header time in seconds
+    """
+
+    xyz: jnp.ndarray
+    time: jnp.ndarray
+    ring: jnp.ndarray
+    mask: jnp.ndarray
+    stamp: jnp.ndarray
+
+
+class Scan(NamedTuple):
+    """Preprocessed scan segment: time-sorted, range-gated, padded.
+
+    xyz:   (N, 3) f32 sensor-frame points, sorted by relative time,
+           padding at the tail
+    tau:   (N,)   f32 normalized per-point time in [0, 1]
+    rel_t: (N,)   f64 per-point time since scan start, seconds
+    mask:  (N,)   bool validity
+    t_begin: ()   f64 scan start time (s)
+    t_end:   ()   f64 scan end time (s)
+    """
+
+    xyz: jnp.ndarray
+    tau: jnp.ndarray
+    rel_t: jnp.ndarray
+    mask: jnp.ndarray
+    t_begin: jnp.ndarray
+    t_end: jnp.ndarray
+
+
+def rotation_model_rel_time(
+    xyz: jnp.ndarray,
+    ring: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: LidarConfig,
+) -> jnp.ndarray:
+    """Per-point relative time (s) from the constant-rotation model.
+
+    Mirrors reference frame.cpp:159-182: the first valid point of each ring
+    anchors the azimuth; offset time = ((yaw_fp - yaw) mod angle_limit) /
+    scan angular velocity. `calc_scan_ang_vel` (calculation_helpers.cpp:104-108)
+    returns deg/ms, so the produced time is in ms; converted to seconds here.
+    """
+    n = xyz.shape[0]
+    yaw = jnp.degrees(jnp.arctan2(xyz[:, 1], xyz[:, 0]))
+
+    # first valid index per ring via scatter-min
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ring_c = jnp.clip(ring, 0, cfg.num_scan_lines - 1)
+    first_idx = jnp.full((cfg.num_scan_lines,), n, dtype=jnp.int32)
+    first_idx = first_idx.at[jnp.where(mask, ring_c, cfg.num_scan_lines - 1)].min(
+        jnp.where(mask, idx, n)
+    )
+    yaw_pad = jnp.concatenate([yaw, jnp.zeros((1,), yaw.dtype)])
+    yaw_fp = yaw_pad[jnp.minimum(first_idx, n)][ring_c]
+
+    scan_ang_vel = cfg.frame_rate * 360.0 / 1000.0  # deg per ms
+    angle_limit = cfg.angle_limit
+    diff = jnp.mod(yaw_fp - yaw, angle_limit)
+    rel_ms = diff / scan_ang_vel
+    return (rel_ms / 1000.0).astype(jnp.float64)
+
+
+def preprocess_scan(raw: RawScan, cfg: LidarConfig) -> Scan:
+    """Range gate, relative time, sort. Returns a full-scan `Scan` (split=1)."""
+    xyz = raw.xyz
+    d2 = jnp.sum(xyz.astype(jnp.float32) ** 2, axis=-1)
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    gate = (d2 >= cfg.min_range**2) & (d2 <= cfg.max_range**2)
+    mask = raw.mask & finite & gate
+
+    has_time = jnp.any(raw.mask & (raw.time > 0))
+    rel_sensor = raw.time - raw.stamp
+    rel_model = rotation_model_rel_time(xyz, raw.ring, mask, cfg)
+    rel = jnp.where(has_time, rel_sensor, rel_model)
+
+    # anchor at the first valid point's relative time so rel_t >= 0
+    big = jnp.asarray(jnp.inf, rel.dtype)
+    rel_valid = jnp.where(mask, rel, big)
+    t0 = jnp.min(rel_valid)
+    t0 = jnp.where(jnp.isfinite(t0), t0, 0.0)
+    rel = rel - t0
+
+    # sort by relative time, padding (inf) to the tail; stable keeps sensor order
+    order = jnp.argsort(jnp.where(mask, rel, big), stable=True)
+    xyz_s = jnp.where(mask[order, None], xyz[order], 0.0).astype(jnp.float32)
+    rel_s = jnp.where(mask[order], rel[order], 0.0)
+    mask_s = mask[order]
+
+    t_span = jnp.max(jnp.where(mask_s, rel_s, 0.0))
+    denom = jnp.where(t_span > 0, t_span, 1.0)
+    tau = (rel_s / denom).astype(jnp.float32)
+
+    t_begin = raw.stamp + t0
+    return Scan(
+        xyz=xyz_s,
+        tau=tau,
+        rel_t=rel_s,
+        mask=mask_s,
+        t_begin=t_begin,
+        t_end=t_begin + t_span,
+    )
+
+
+def segment_ids(scan: Scan, num_segments: int) -> jnp.ndarray:
+    """Equal-count segment index per sorted point (reference split_clouds,
+    frame.cpp:53-99: cut when count hits (cut+1)*size/num_segments)."""
+    n = scan.mask.shape[0]
+    rank = jnp.cumsum(scan.mask.astype(jnp.int32)) - 1
+    valid = jnp.maximum(jnp.sum(scan.mask.astype(jnp.int32)), 1)
+    seg = jnp.clip((rank * num_segments) // valid, 0, num_segments - 1)
+    return jnp.where(scan.mask, seg, num_segments - 1).astype(jnp.int32)
+
+
+def pack_raw_scan(
+    xyz, time=None, ring=None, stamp=0.0, max_points: int | None = None
+) -> RawScan:
+    """Host-side helper: pad numpy-ish arrays into a RawScan."""
+    import numpy as np
+
+    xyz = np.asarray(xyz, dtype=np.float32)
+    n = xyz.shape[0]
+    cap = max_points if max_points is not None else n
+    assert n <= cap, f"scan has {n} points > capacity {cap}"
+
+    def pad(a, fill, dtype):
+        out = np.full((cap,) + a.shape[1:], fill, dtype=dtype)
+        out[:n] = a
+        return out
+
+    xyz_p = pad(xyz, 0.0, np.float32)
+    t = np.zeros((n,), np.float64) if time is None else np.asarray(time, np.float64)
+    r = np.zeros((n,), np.int32) if ring is None else np.asarray(ring, np.int32)
+    mask = np.zeros((cap,), bool)
+    mask[:n] = True
+    return RawScan(
+        xyz=jnp.asarray(xyz_p),
+        time=jnp.asarray(pad(t, 0.0, np.float64)),
+        ring=jnp.asarray(pad(r, 0, np.int32)),
+        mask=jnp.asarray(mask),
+        stamp=jnp.asarray(float(stamp), jnp.float64),
+    )
