@@ -113,6 +113,10 @@ class EkfConfig:
     visual_zupt_r: float = 1e-5
     zupt_speed_threshold: float = 1e-3  # reference ekf.cpp:684
     zupt_min_interval: float = 0.25  # seconds, reference ekf.cpp:662
+    # LiDAR pose measurement noise (the update the reference never wired;
+    # loose values keep the gravity-tilt feedback loop stable)
+    lidar_pos_noise: float = 0.1
+    lidar_ori_noise: float = 0.05
 
     @property
     def inner_dim(self) -> int:

@@ -55,8 +55,15 @@ def make_trajectory(
     yaw_rate: float = 0.02,
     dt: float = 0.1,
     z: float = 2.0,
+    n_static: int = 0,
+    ramp: int = 3,
 ) -> np.ndarray:
-    """Smooth forward trajectory with gentle yaw. Returns (N, 4, 4) f64."""
+    """Smooth forward trajectory with gentle yaw. Returns (N, 4, 4) f64.
+
+    `n_static` initial poses are identical (a stationary phase for IMU static
+    initialization, like the reference's 200-sample init) and speed ramps up
+    over `ramp` poses afterwards.
+    """
     poses = np.zeros((n_poses, 4, 4))
     x, y, yaw = 0.0, 0.0, 0.0
     for i in range(n_poses):
@@ -65,9 +72,13 @@ def make_trajectory(
         T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
         T[:3, 3] = [x, y, z]
         poses[i] = T
-        x += speed * dt * c
-        y += speed * dt * s
-        yaw += yaw_rate
+        if i < n_static:
+            continue
+        frac = min(1.0, (i - n_static + 1) / max(ramp, 1))
+        v = speed * frac
+        x += v * dt * c
+        y += v * dt * s
+        yaw += yaw_rate * frac
     return poses
 
 
@@ -96,6 +107,55 @@ def render_scan(
     pts_s = (pts_w - t) @ R  # R^T (p - t)
     pts_s = pts_s + rng.normal(0, noise, pts_s.shape)
     return pts_s
+
+
+def render_scan_rolling(
+    world: np.ndarray,
+    pose_start: np.ndarray,
+    pose_end: np.ndarray,
+    scan_duration: float,
+    max_points: int,
+    min_range: float,
+    max_range: float,
+    noise: float = 0.01,
+    seed: int = 0,
+):
+    """Rolling-shutter scan: each point observed at its own interpolated pose.
+
+    Models the intra-scan motion a spinning LiDAR sees, so IMU/CV motion
+    compensation has real distortion to remove. Returns (points (n,3) in the
+    *per-point* sensor frame, rel_times (n,) seconds in [0, scan_duration)).
+    """
+    rng = np.random.default_rng(seed)
+    rel = world - pose_start[:3, 3]
+    d = np.linalg.norm(rel, axis=1)
+    vis = (d > min_range * 1.05) & (d < max_range * 0.95)
+    idx = np.flatnonzero(vis)
+    if len(idx) > max_points:
+        idx = rng.choice(idx, size=max_points, replace=False)
+    pts_w = world[idx]
+    tau = np.sort(rng.uniform(0, 1, len(idx)))
+
+    Ra, Rb = pose_start[:3, :3], pose_end[:3, :3]
+    w_ab = _log_so3(Ra.T @ Rb)
+    pa, pb = pose_start[:3, 3], pose_end[:3, 3]
+    out = np.empty((len(idx), 3))
+    for k in range(len(idx)):
+        t = tau[k]
+        Rt = Ra @ _exp_so3(w_ab * t)
+        pt = pa + t * (pb - pa)
+        out[k] = Rt.T @ (pts_w[k] - pt)
+    out += rng.normal(0, noise, out.shape)
+    return out, tau * scan_duration
+
+
+def _exp_so3(w: np.ndarray) -> np.ndarray:
+    theta = np.linalg.norm(w)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = w / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * K @ K
 
 
 def make_imu_stream(

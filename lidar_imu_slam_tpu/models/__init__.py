@@ -1,3 +1,6 @@
 from . import kiss_icp
+from . import ekf
+from . import lio
+from . import backend
 
-__all__ = ["kiss_icp"]
+__all__ = ["kiss_icp", "ekf", "lio", "backend"]

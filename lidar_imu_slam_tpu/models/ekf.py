@@ -1,0 +1,716 @@
+"""Quaternion error-state EKF (HybVIO-derived), 30-dim inner state + pose trail.
+
+Re-implements the reference's largest component (reference src/kalman/ekf.cpp,
+include/limu/kalman/ekf.hpp) as pure functions over an `EkfState` pytree:
+
+  state layout (ekf.hpp:14-54):
+    [0:3]   position (imu-world)        [16:19] acc scale (BAT)
+    [3:6]   velocity                    [19:22] gravity
+    [6:10]  orientation quat (w,x,y,z)  [22:25] imu-lidar translation
+    [10:13] gyro bias (BGA)             [25:29] imu-lidar quat
+    [13:16] acc bias (BAA)              [29]    imu-lidar time shift
+    [30:]   trail of `lidar_pose_trail` historical 7-dim poses
+  => state_dim = 30 + 20*7 = 170 with the default trail (ekf.cpp:67).
+
+TPU-native differences from the reference (all documented):
+  * A = exp(S(w)dt) is closed form (ops/lie.quat_propagator) instead of
+    Eigen's unsupported MatrixFunctions expm (ekf.cpp:266-267, 349).
+  * dR/dq is the analytic Jacobian of the rotation formula
+    (ops/lie.dquat_to_rot) instead of the R(e_i) - R(q) perturbation hack
+    (helper.hpp:19-33), which is not a derivative.
+  * Pose-trail augmentation shift matrices (ekf.cpp:119-190) become gather
+    index maps — no sparse matmuls.
+  * Innovation solves use Cholesky (f64 LU does not compile on TPU); the
+    reference's LDLT on the same SPD systems is numerically equivalent.
+  * Covariance propagation exploits the trail block structure exactly like
+    the reference (ekf.cpp:284-289): only the top-left 30x30 and the 30-wide
+    cross strips are touched per IMU sample.
+  * `initialize_imu_global_orientation` (ekf.cpp:194-211) is called in the
+    reference with xa = 0 (imu/frame.cpp:115-116), making FromTwoVectors
+    degenerate; here orientation init aligns measured mean specific force
+    with world up — the intended behavior.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GRAVITY, EkfConfig
+from ..ops import lie
+from ..ops.precise import exp_
+
+# state layout offsets (reference ekf.hpp:32-54)
+POS, VEL, ORI, BGA, BAA, BAT, GRAV_I, PIL, RIL, SFT = (
+    0, 3, 6, 10, 13, 16, 19, 22, 25, 29,
+)
+INNER = 30
+POSE_DIM = 7
+# process noise layout (reference ekf.hpp:56-60)
+Q_ACC, Q_GYRO, Q_BGA, Q_BAA, Q_DIM = 0, 3, 6, 9, 12
+
+
+class EkfState(NamedTuple):
+    m: jnp.ndarray  # (D,) f64 mean
+    P: jnp.ndarray  # (D, D) f64 covariance
+    time: jnp.ndarray  # () f64 — seconds since first sample
+    first_sample_t: jnp.ndarray  # () f64
+    prev_sample_t: jnp.ndarray  # () f64
+    first_sample: jnp.ndarray  # () bool
+    zupt_time: jnp.ndarray  # () f64 last ZUPT (time-origin relative)
+    was_stationary: jnp.ndarray  # () bool
+    augment_count: jnp.ndarray  # () i32
+    last_lidar_end_time: jnp.ndarray  # () f64
+    orientation_initialized: jnp.ndarray  # () bool
+
+
+def _process_covariance(cfg: EkfConfig, noise_scale: float | jnp.ndarray) -> jnp.ndarray:
+    """Initial covariance (reference initialize_process_covariance, ekf.cpp:580-617)."""
+    d = cfg.state_dim
+    diag = jnp.zeros((d,), jnp.float64)
+    sq = lambda v: v * v  # noqa: E731
+    diag = diag.at[POS:POS + 3].set(sq(cfg.init_pos_noise))
+    diag = diag.at[VEL:VEL + 3].set(sq(cfg.init_vel_noise))
+    diag = diag.at[ORI:ORI + 4].set(1.0)
+    diag = diag.at[BGA:BGA + 3].set(sq(cfg.init_bga_noise))
+    diag = diag.at[BAA:BAA + 3].set(sq(cfg.init_baa_noise))
+    diag = diag.at[BAT:BAT + 3].set(sq(cfg.init_bat_noise))
+    # quirk preserved: the reference seeds the gravity block with the
+    # lidar-imu time noise (ekf.cpp:595)
+    diag = diag.at[GRAV_I:GRAV_I + 3].set(sq(cfg.init_lidar_imu_time_noise))
+    diag = diag.at[PIL:PIL + 3].set(sq(cfg.init_pos_noise))
+    diag = diag.at[RIL:RIL + 4].set(1.0)
+    diag = diag.at[SFT].set(sq(cfg.init_lidar_imu_time_noise))
+    trail = jnp.tile(
+        jnp.concatenate(
+            [
+                jnp.full((3,), sq(cfg.init_pos_trail_noise), jnp.float64),
+                jnp.full((4,), sq(cfg.init_ori_trail_noise), jnp.float64),
+            ]
+        ),
+        cfg.lidar_pose_trail,
+    )
+    diag = diag.at[INNER:].set(trail)
+    return jnp.diag(diag) * noise_scale
+
+
+def init(cfg: EkfConfig) -> EkfState:
+    d = cfg.state_dim
+    m = jnp.zeros((d,), jnp.float64)
+    m = m.at[ORI].set(1.0).at[RIL].set(1.0)
+    m = m.at[BAT:BAT + 3].set(1.0)
+    m = m.at[GRAV_I:GRAV_I + 3].set(jnp.array([0.0, 0.0, -GRAVITY]))
+    noise_scale = cfg.noise_scale * cfg.noise_scale  # reference ekf.cpp:66
+    P = _process_covariance(cfg, noise_scale)
+    z = jnp.float64(0.0)
+    return EkfState(
+        m=m,
+        P=P,
+        time=z,
+        first_sample_t=z,
+        prev_sample_t=jnp.float64(-1.0),
+        first_sample=jnp.asarray(True),
+        zupt_time=jnp.float64(-1.0),
+        was_stationary=jnp.asarray(False),
+        augment_count=jnp.int32(0),
+        last_lidar_end_time=z,
+        orientation_initialized=jnp.asarray(False),
+    )
+
+
+def initialize_gravity_alignment(state: EkfState, mean_acc, cfg: EkfConfig) -> EkfState:
+    """Gravity-aligned orientation init (intent of reference ekf.cpp:194-211).
+
+    `mean_acc` is the mean body-frame specific force while stationary; the
+    body gravity estimate is calc_grav = -mean_acc * g / |mean_acc|
+    (imu/frame.cpp:114). Orientation is set so the propagation model
+    vel += (R^T T_ab + grav) dt is consistent at rest, and the gravity state
+    takes calc_grav's magnitude along world -z.
+    """
+    calc_grav = -mean_acc / jnp.linalg.norm(mean_acc) * GRAVITY
+    # propagation uses R^T a_body + grav: require R^T mean_dir = -ghat_world,
+    # i.e. R maps (world up) to body mean-acc direction.
+    up = jnp.array([0.0, 0.0, 1.0], jnp.float64)
+    q = lie.quat_from_two_vectors(up, mean_acc)  # R(q) up = acc_dir; R^T acc = up
+    m = state.m.at[ORI:ORI + 4].set(q)
+    m = m.at[GRAV_I:GRAV_I + 3].set(jnp.array([0.0, 0.0, -1.0]) * jnp.linalg.norm(calc_grav))
+    noise_scale = cfg.noise_scale * cfg.noise_scale
+    P = state.P
+    ori_block = jnp.eye(4, dtype=jnp.float64).at[3, 3].set(0.0)
+    P = P.at[ORI:ORI + 4, ORI:ORI + 4].set(
+        ori_block * (cfg.init_ori_noise**2) * noise_scale
+    )
+    return state._replace(m=m, P=P, orientation_initialized=jnp.asarray(True))
+
+
+def _ou_q(cfg: EkfConfig, dt, noise_scale) -> jnp.ndarray:
+    """Process noise with Ornstein-Uhlenbeck bias scaling (reference ekf.cpp:112-116, 244-263)."""
+    q = jnp.zeros((Q_DIM,), jnp.float64)
+    q = q.at[Q_ACC:Q_ACC + 3].set(cfg.acc_process_noise**2)
+    q = q.at[Q_GYRO:Q_GYRO + 3].set(cfg.gyro_process_noise**2)
+
+    def ou(qc, theta):
+        scale = jnp.where(
+            theta > 0.0, (1.0 - exp_(-2.0 * dt * theta)) / (2.0 * theta), 1.0
+        )
+        return qc * scale
+
+    q = q.at[Q_BGA:Q_BGA + 3].set(
+        jnp.where(
+            cfg.gyro_process_noise > 0.0,
+            ou(cfg.gyro_process_noise**2, cfg.gyro_process_noise_rev),
+            0.0,
+        )
+    )
+    q = q.at[Q_BAA:Q_BAA + 3].set(
+        jnp.where(
+            cfg.acc_process_noise > 0.0,
+            ou(cfg.acc_process_noise**2, cfg.acc_process_noise_rev),
+            0.0,
+        )
+    )
+    return jnp.diag(q) * noise_scale
+
+
+def _propagate_mean(m, A, R, rot_li, trans_li, dt, calc_grav, xa, cfg: EkfConfig):
+    """Mean propagation (reference propagate_state, ekf.cpp:486-519)."""
+    T_ab = m[BAT:BAT + 3] * xa - m[BAA:BAA + 3]
+    prev_quat = m[ORI:ORI + 4]
+
+    m = m.at[POS:POS + 3].add(m[VEL:VEL + 3] * dt)
+    m = m.at[VEL:VEL + 3].add((R.T @ T_ab + m[GRAV_I:GRAV_I + 3]) * dt)
+    m = m.at[ORI:ORI + 4].set(A @ prev_quat)
+    m = m.at[BAA:BAA + 3].multiply(
+        jnp.where(cfg.acc_process_noise_rev > 0.0, exp_(-dt * cfg.acc_process_noise_rev), 1.0)
+    )
+    m = m.at[BGA:BGA + 3].multiply(
+        jnp.where(cfg.gyro_process_noise > 0.0, exp_(-dt * cfg.gyro_process_noise), 1.0)
+    )
+    m = m.at[GRAV_I:GRAV_I + 3].set(calc_grav)
+    m = m.at[PIL:PIL + 3].set(trans_li)
+    m = m.at[RIL:RIL + 4].set(lie.rot_to_quat(rot_li))
+    return m, T_ab, prev_quat
+
+
+def _state_jacobians(T_ab, prev_quat, A, R, dR, xa, dt):
+    """Fx (30x30) and Fw (30x12) (reference initialize_state_jacobians, ekf.cpp:521-578)."""
+    Fx = jnp.zeros((INNER, INNER), jnp.float64)
+    Fw = jnp.zeros((INNER, Q_DIM), jnp.float64)
+    eye3 = jnp.eye(3, dtype=jnp.float64)
+
+    for blk in (POS, VEL, BGA, BAA, BAT, GRAV_I, PIL):
+        Fx = Fx.at[blk:blk + 3, blk:blk + 3].set(eye3)
+    Fx = Fx.at[RIL:RIL + 4, RIL:RIL + 4].set(jnp.eye(4, dtype=jnp.float64))
+    Fx = Fx.at[SFT, SFT].set(1.0)
+    Fx = Fx.at[POS:POS + 3, VEL:VEL + 3].set(eye3 * dt)
+
+    # d(vel)/d(quat): columns dR_i^T T_ab dt, then right-multiplied by A
+    dv_dq = jnp.einsum("qji,j->iq", dR, T_ab) * dt  # (3, 4)
+    dv_dq = dv_dq @ A
+    Fx = Fx.at[VEL:VEL + 3, ORI:ORI + 4].set(dv_dq)
+    Fx = Fx.at[ORI:ORI + 4, ORI:ORI + 4].set(A)
+
+    Fw = Fw.at[VEL:VEL + 3, Q_ACC:Q_ACC + 3].set(R.T * dt)
+
+    # quaternion wrt gyro noise: A @ dS_i @ prev_quat with the structured
+    # dt/2 matrices (ekf.cpp:554-560)
+    h = dt / 2.0
+    dS = jnp.array(
+        [
+            [[0, h, 0, 0], [-h, 0, 0, 0], [0, 0, 0, h], [0, 0, -h, 0]],
+            [[0, 0, h, 0], [0, 0, 0, -h], [-h, 0, 0, 0], [0, h, 0, 0]],
+            [[0, 0, 0, h], [0, 0, h, 0], [0, -h, 0, 0], [-h, 0, 0, 0]],
+        ],
+        jnp.float64,
+    )
+    dq_dw = jnp.einsum("ab,gbc,c->ag", A, dS, prev_quat)  # (4, 3)
+    Fw = Fw.at[ORI:ORI + 4, Q_GYRO:Q_GYRO + 3].set(dq_dw)
+    Fw = Fw.at[BGA:BGA + 3, Q_BGA:Q_BGA + 3].set(eye3)
+    Fw = Fw.at[BAA:BAA + 3, Q_BAA:Q_BAA + 3].set(eye3)
+
+    dv_dw = dv_dq @ dq_dw  # (3, 3)
+    Fw = Fw.at[VEL:VEL + 3, Q_GYRO:Q_GYRO + 3].set(dv_dw)
+    Fx = Fx.at[VEL:VEL + 3, BGA:BGA + 3].set(-dv_dw)
+    Fx = Fx.at[ORI:ORI + 4, BGA:BGA + 3].set(-dq_dw)
+    Fx = Fx.at[VEL:VEL + 3, BAA:BAA + 3].set(-R.T * dt)
+    Fx = Fx.at[VEL:VEL + 3, BAT:BAT + 3].set(R.T @ jnp.diag(xa) * dt)
+    return Fx, Fw
+
+
+def _block_cov_propagate(P, Fx, Fw_Q_FwT):
+    """P update exploiting trail sparsity (reference ekf.cpp:284-289)."""
+    P = P.at[:INNER, :INNER].set(Fx @ P[:INNER, :INNER] @ Fx.T + Fw_Q_FwT)
+    P = P.at[INNER:, :INNER].set(P[INNER:, :INNER] @ Fx.T)
+    P = P.at[:INNER, INNER:].set(Fx @ P[:INNER, INNER:])
+    return P
+
+
+def predict(
+    state: EkfState,
+    t,
+    xg,
+    xa,
+    calc_grav,
+    trans_lidar_imu,
+    rot_lidar_imu,
+    cfg: EkfConfig,
+) -> EkfState:
+    """Forward propagation (reference EKF::predict, ekf.cpp:214-290)."""
+    noise_scale = cfg.noise_scale * cfg.noise_scale
+    dt = jnp.where(state.first_sample, 0.0, t - state.prev_sample_t)
+    new_time = jnp.where(state.first_sample, state.time, t - state.first_sample_t)
+    first_sample_t = jnp.where(state.first_sample, t, state.first_sample_t)
+
+    def do_predict(m, P):
+        Q = _ou_q(cfg, dt, noise_scale)
+        w = xg - m[BGA:BGA + 3]
+        A = lie.quat_propagator(w, dt)
+        q_next = A @ m[ORI:ORI + 4]
+        R = lie.quat_to_rot(q_next)
+        dR = lie.dquat_to_rot(q_next)
+        m2, T_ab, prev_quat = _propagate_mean(
+            m, A, R, rot_lidar_imu, trans_lidar_imu, dt, calc_grav, xa, cfg
+        )
+        Fx, Fw = _state_jacobians(T_ab, prev_quat, A, R, dR, xa, dt)
+        P2 = _block_cov_propagate(P, Fx, Fw @ Q @ Fw.T)
+        return m2, P2
+
+    skip = dt <= 0.0  # reference ekf.cpp:235-240
+    m, P = jax.lax.cond(skip, lambda m, P: (m, P), do_predict, state.m, state.P)
+    return state._replace(
+        m=m,
+        P=P,
+        time=new_time,
+        first_sample_t=first_sample_t,
+        prev_sample_t=t,
+        first_sample=jnp.asarray(False),
+    )
+
+
+def normalize_quaternions(state: EkfState, cfg: EkfConfig, only_current: bool = False) -> EkfState:
+    """Reference ekf.cpp:619-634."""
+    m = state.m
+    m = m.at[ORI:ORI + 4].set(lie.quat_normalize(m[ORI:ORI + 4]))
+    m = m.at[RIL:RIL + 4].set(lie.quat_normalize(m[RIL:RIL + 4]))
+    if not only_current:
+        trail = m[INNER:].reshape(cfg.lidar_pose_trail, POSE_DIM)
+        quats = trail[:, 3:7]
+        norms = jnp.linalg.norm(quats, axis=-1, keepdims=True)
+        quats = jnp.where(norms > 1e-12, quats / jnp.where(norms > 1e-12, norms, 1.0), quats)
+        trail = trail.at[:, 3:7].set(quats)
+        m = m.at[INNER:].set(trail.reshape(-1))
+    return state._replace(m=m)
+
+
+def maintain_positive_semi_definite(state: EkfState) -> EkfState:
+    """Symmetry projection (reference ekf.cpp:758-764)."""
+    return state._replace(P=0.5 * (state.P + state.P.T))
+
+
+# ---------------------------------------------------------------------------
+# Generic Kalman update (reference anonymous update, ekf.cpp:36-60)
+# ---------------------------------------------------------------------------
+
+
+def kalman_update(m, P, y, H, Rn):
+    """m, P <- Kalman update with measurement y = H m[:l] + noise.
+
+    H: (n, l) with l <= D (truncated representation like the reference's).
+    Cholesky innovation solve; P via the reference's P -= K H P form,
+    then quaternion renormalization is the caller's job.
+    """
+    l = H.shape[1]
+    HP = H @ P[:l, :]  # (n, D)
+    S = Rn + HP[:, :l] @ H.T
+    L = jnp.linalg.cholesky(S)
+    K = jax.scipy.linalg.cho_solve((L, True), HP).T  # (D, n)
+    v = y - H @ m[:l]
+    m2 = m + K @ v
+    P2 = P - K @ HP
+    return m2, P2
+
+
+def _joseph_update(P, H_full, Rn, K):
+    """Joseph form (reference update_common_joseph_form, ekf.cpp:20-34).
+
+    H_full: (n, D) dense measurement matrix.
+    """
+    d = P.shape[0]
+    IKH = jnp.eye(d, dtype=P.dtype) - K @ H_full
+    return IKH @ P @ IKH.T + K @ Rn @ K.T
+
+
+def zero_vel_update(state: EkfState, cfg: EkfConfig) -> EkfState:
+    """ZUPT, rate-limited to 4 Hz (reference ekf.cpp:657-678)."""
+    noise_scale = cfg.noise_scale * cfg.noise_scale
+    gate = (state.time - state.zupt_time) >= cfg.zupt_min_interval
+
+    def do(m, P):
+        H = jnp.zeros((3, VEL + 3), jnp.float64).at[:, VEL:VEL + 3].set(jnp.eye(3))
+        Rn = jnp.eye(3, dtype=jnp.float64) * cfg.visual_zupt_r * noise_scale
+        y = jnp.zeros((3,), jnp.float64)
+        return kalman_update(m, P, y, H, Rn)
+
+    m, P = jax.lax.cond(gate, do, lambda m, P: (m, P), state.m, state.P)
+    state = state._replace(
+        m=m,
+        P=P,
+        zupt_time=jnp.where(gate, state.time, state.zupt_time),
+        was_stationary=state.was_stationary | gate,
+    )
+    state = normalize_quaternions(state, cfg, only_current=True)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Pose-trail augmentation (reference ekf.cpp:119-190, 700-756)
+# ---------------------------------------------------------------------------
+
+
+def _augment_perm(cfg: EkfConfig) -> jnp.ndarray:
+    """Index map for the trail shift dropping the last pose
+    (reference visAugA[lidar_pose_count-1], ekf.cpp:119-139):
+    inner state unchanged; trail slots shift down by one; slot 0 zeroed
+    (source index -1 -> filled with 0)."""
+    import numpy as np
+
+    d = cfg.state_dim
+    perm = np.arange(d)
+    for i in range(INNER, d):
+        src = i - POSE_DIM
+        perm[i] = src if src >= INNER else -1
+    perm[INNER:INNER + POSE_DIM] = -1
+    return jnp.asarray(perm, jnp.int32)
+
+
+def _unaugment_perm(cfg: EkfConfig) -> jnp.ndarray:
+    """Reverse shift dropping the first trail pose (reference visUnaugmentA,
+    ekf.cpp:142-159): new[i] = old[i + 7] for trail, last slot zeroed."""
+    import numpy as np
+
+    d = cfg.state_dim
+    perm = np.arange(d)
+    for i in range(INNER, d):
+        src = i + POSE_DIM
+        perm[i] = src if src < d else -1
+    return jnp.asarray(perm, jnp.int32)
+
+
+def _apply_perm(m, P, perm):
+    """m' = A m, P' = A P A^T for a 0/1 selection matrix given as index map."""
+    safe = jnp.maximum(perm, 0)
+    keep = (perm >= 0).astype(m.dtype)
+    m2 = m[safe] * keep
+    P2 = (P[safe][:, safe]) * keep[:, None] * keep[None, :]
+    return m2, P2
+
+
+def update_visual_pose_aug(state: EkfState, cfg: EkfConfig) -> EkfState:
+    """Augment the trail with the current pose (reference ekf.cpp:700-734):
+    shift poses (dropping the oldest), add trail noise on slot 0, then a
+    tight Kalman update pinning slot 0 to the current pos/ori."""
+    noise_scale = cfg.noise_scale * cfg.noise_scale
+    d = cfg.state_dim
+    m, P = _apply_perm(state.m, state.P, _augment_perm(cfg))
+
+    q_diag = jnp.zeros((d,), jnp.float64)
+    q_diag = q_diag.at[INNER:INNER + 3].set(cfg.init_pos_trail_noise**2)
+    q_diag = q_diag.at[INNER + 3:INNER + POSE_DIM].set(cfg.init_ori_trail_noise**2)
+    P = P + jnp.diag(q_diag * noise_scale)
+
+    # H: (7, D) matching new pose slot to the main state (visAugH, ekf.cpp:161-177)
+    H = jnp.zeros((POSE_DIM, d), jnp.float64)
+    H = H.at[jnp.arange(3), POS + jnp.arange(3)].set(1.0)
+    H = H.at[jnp.arange(3), INNER + jnp.arange(3)].set(-1.0)
+    H = H.at[3 + jnp.arange(4), ORI + jnp.arange(4)].set(1.0)
+    H = H.at[3 + jnp.arange(4), INNER + 3 + jnp.arange(4)].set(-1.0)
+    Rn = jnp.eye(POSE_DIM, dtype=jnp.float64) * 1e-9 * noise_scale
+
+    HP = H @ P
+    S = Rn + HP @ H.T
+    L = jnp.linalg.cholesky(S)
+    K = jax.scipy.linalg.cho_solve((L, True), HP).T
+    m = m + K @ (-(H @ m))
+    P = _joseph_update(P, H, Rn, K)
+
+    state = state._replace(
+        m=m, P=P, augment_count=jnp.minimum(state.augment_count + 1, cfg.lidar_pose_trail)
+    )
+    state = maintain_positive_semi_definite(state)
+    return normalize_quaternions(state, cfg)
+
+
+def update_undo_augmentation(state: EkfState, cfg: EkfConfig) -> EkfState:
+    """Drop the newest trail pose (reference ekf.cpp:736-756)."""
+    m, P = _apply_perm(state.m, state.P, _unaugment_perm(cfg))
+    state = state._replace(
+        m=m, P=P, augment_count=jnp.maximum(state.augment_count - 1, 0)
+    )
+    state = maintain_positive_semi_definite(state)
+    return normalize_quaternions(state, cfg)
+
+
+def update_and_propagate(state: EkfState, cfg: EkfConfig) -> EkfState:
+    """ZUPT when stationary, then trail augmentation (reference ekf.cpp:680-698)."""
+    speed = jnp.linalg.norm(state.m[VEL:VEL + 3])
+    stationary = jnp.abs(speed) < cfg.zupt_speed_threshold
+
+    def when_stationary(s):
+        s = zero_vel_update(s, cfg)
+        return update_undo_augmentation(s, cfg)
+
+    state = jax.lax.cond(stationary, when_stationary, lambda s: s, state)
+    return update_visual_pose_aug(state, cfg)
+
+
+# ---------------------------------------------------------------------------
+# IMU motion compensation (reference motion_compensation_with_imu,
+# ekf.cpp:292-469)
+# ---------------------------------------------------------------------------
+
+
+class ImuPacket(NamedTuple):
+    """Padded per-scan IMU sub-buffer. Element 0 must be the previous
+    packet's last sample (the reference prepends mc_tracker->last_imu,
+    ekf.cpp:295)."""
+
+    time: jnp.ndarray  # (M,) f64 absolute seconds
+    gyro: jnp.ndarray  # (M, 3) f64
+    acc: jnp.ndarray  # (M, 3) f64
+    mask: jnp.ndarray  # (M,) bool
+
+
+def motion_compensation_with_imu(
+    state: EkfState,
+    packet: ImuPacket,
+    points,  # (N, 3) f32 sensor frame, time-sorted
+    rel_t,  # (N,) f64 seconds since scan begin
+    pts_mask,  # (N,) bool
+    mean_acc_norm,  # () f64 — |mean acc| for unit-gravity scaling (ekf.cpp:357)
+    pcl_beg_time,  # () f64
+    cfg: EkfConfig,
+):
+    """IMU-trajectory undistortion to the scan-end frame.
+
+    Builds the per-interval IMU pose trail with a `lax.scan` (replacing the
+    reference's sequential pair loop, ekf.cpp:315-391), then back-propagates
+    every point in parallel: P' = R_end^T (R_i P + T_ei) (ekf.cpp:420-456).
+    The reference also propagates a covariance copy in this loop that is
+    never read back (ekf.cpp:313, 366-370 write `curr_cov`, a local) — that
+    dead work is not replicated.
+
+    Returns (state', deskewed (N,3) f32, trail diagnostics dict).
+    """
+    m = state.m
+    bga = m[BGA:BGA + 3]
+    bat = m[BAT:BAT + 3]
+    baa = m[BAA:BAA + 3]
+    grav = m[GRAV_I:GRAV_I + 3]
+    t_il = m[PIL:PIL + 3]
+
+    n_pts = rel_t.shape[0]
+    last_rel = jnp.max(jnp.where(pts_mask, rel_t, 0.0))
+    pcl_end_time = pcl_beg_time + last_rel
+    imu_t = packet.time
+    valid_pair = packet.mask[:-1] & packet.mask[1:]
+    imu_end_time = jnp.max(jnp.where(packet.mask, imu_t, -jnp.inf))
+
+    # filter state quaternion is world->body; the trail runs body->world
+    q0 = lie.quat_conj(m[ORI:ORI + 4])
+    vel0 = m[VEL:VEL + 3]
+    pos0 = m[POS:POS + 3]
+
+    def pair_step(carry, inp):
+        quat, vel, pos = carry
+        head_t, tail_t, g_mid, a_mid, padded_ok = inp
+        ok = padded_ok & (tail_t >= state.last_lidar_end_time)  # ekf.cpp:322-323
+        dt = jnp.where(
+            head_t < state.last_lidar_end_time,
+            tail_t - state.last_lidar_end_time,
+            tail_t - head_t,
+        )
+        dt = jnp.where(ok, dt, 0.0)
+
+        # "global update rotation": the sign-flipped propagator turns the
+        # trail quaternion into the body->world convention (ekf.cpp:372-375),
+        # so the velocity update uses rot directly. (The reference keeps the
+        # filter-state rot.transpose() here, ekf.cpp:380, inconsistent with
+        # its own flip — documented deviation, matches FAST-LIO's math.)
+        A = lie.quat_propagator(g_mid - bga, -dt)
+        quat_n = lie.quat_normalize(A @ quat)
+        rot = lie.quat_to_rot(quat_n)
+        xa = a_mid / mean_acc_norm * GRAVITY  # unit-gravity scaling
+        T_ab = bat * xa - baa
+        vel_n = vel + (rot @ T_ab + grav) * dt
+        pos_n = pos + vel_n * dt
+
+        quat = jnp.where(ok, quat_n, quat)
+        vel = jnp.where(ok, vel_n, vel)
+        pos = jnp.where(ok, pos_n, pos)
+        # offsets must stay nondecreasing for the vectorized interval search:
+        # padding -> +inf (never selected); early-skipped or pre-scan pairs
+        # clamp to 0 (they carry the unchanged initial state, equivalent to
+        # the reference emitting no entry for them)
+        offset = jnp.where(
+            padded_ok,
+            jnp.where(ok, jnp.maximum(tail_t - pcl_beg_time, 0.0), 0.0),
+            jnp.inf,
+        )
+        rec = {
+            "offset": offset,
+            "acc": xa,
+            "gyr": g_mid,
+            "vel": vel,
+            "pos": pos,
+            "rot": lie.quat_to_rot(quat),
+        }
+        return (quat, vel, pos), rec
+
+    g_mid = 0.5 * (packet.gyro[:-1] + packet.gyro[1:])
+    a_mid = 0.5 * (packet.acc[:-1] + packet.acc[1:])
+    (quat_f, vel_f, pos_f), trail = jax.lax.scan(
+        pair_step,
+        (q0, vel0, pos0),
+        (imu_t[:-1], imu_t[1:], g_mid, a_mid, valid_pair),
+    )
+
+    # head entry 0: the state at scan begin (populate_imu_pose(0.0), ekf.cpp:307)
+    head0 = {
+        "offset": jnp.float64(0.0),
+        "acc": jnp.zeros(3, jnp.float64),
+        "gyr": jnp.zeros(3, jnp.float64),
+        "vel": vel0,
+        "pos": pos0,
+        "rot": lie.quat_to_rot(q0),
+    }
+    trail = jax.tree.map(
+        lambda h, t: jnp.concatenate([h[None], t], axis=0), head0, trail
+    )
+
+    # extrapolate to frame end (ekf.cpp:393-410); the reference takes
+    # |pcl_end - imu_end| — replicated
+    n_pairs = jnp.maximum(jnp.sum(valid_pair, dtype=jnp.int32), 1)
+    last_g = g_mid[n_pairs - 1]
+    last_a = a_mid[n_pairs - 1] / mean_acc_norm * GRAVITY
+    dt_end = jnp.abs(pcl_end_time - imu_end_time)
+    A_end = lie.quat_propagator(last_g - bga, -dt_end)
+    rot_end = lie.quat_to_rot(lie.quat_normalize(A_end @ quat_f))
+    T_ab_end = bat * last_a - baa
+    vel_end = vel_f + (rot_end @ T_ab_end + grav) * dt_end
+    pos_end = pos_f + vel_end * dt_end
+    pos_lidar_end = rot_end @ t_il + pos_end
+
+    # parallel per-point undistortion: interval = last trail entry with
+    # offset < t_pt (the reference's strict `>` walk, ekf.cpp:431)
+    offsets = trail["offset"]  # (M,) with inf on invalid entries
+    k = jnp.clip(jnp.searchsorted(offsets, rel_t, side="left") - 1, 0, offsets.shape[0] - 1)
+    dtp = rel_t - jnp.where(jnp.isfinite(offsets[k]), offsets[k], 0.0)
+    R_head = trail["rot"][k]  # (N, 3, 3)
+    R_i = R_head @ lie.so3_exp(trail["gyr"][k] * dtp[:, None])
+    T_ei = (
+        trail["pos"][k]
+        + trail["vel"][k] * dtp[:, None]
+        + 0.5 * trail["acc"][k] * (dtp**2)[:, None]
+        + (R_i @ t_il)
+        - pos_lidar_end
+    )
+    p64 = points.astype(jnp.float64)
+    p_comp = (R_i @ p64[:, :, None])[:, :, 0] + T_ei
+    deskewed = (p_comp @ rot_end).astype(points.dtype)  # row-vector form of R_end^T p
+
+    state = state._replace(last_lidar_end_time=pcl_end_time)
+    diag = {
+        "vel_end": vel_end,
+        "pos_end": pos_end,
+        "rot_end": rot_end,
+        "n_pairs": n_pairs,
+    }
+    return state, jnp.where(pts_mask[:, None], deskewed, points), diag
+
+
+def predict_over_packet(
+    state: EkfState, packet: ImuPacket, trans_lidar_imu, rot_lidar_imu, cfg: EkfConfig
+) -> EkfState:
+    """Run the EKF predict step for every sample in the packet (the
+    reference's intended per-IMU-sample forward propagation; `predict` at
+    ekf.cpp:214-290 has no caller in the shipped main loop — this wires it)."""
+    calc_grav = state.m[GRAV_I:GRAV_I + 3]
+
+    def step(s, inp):
+        t, g, a, ok = inp
+        s2 = predict(s, t, g, a, calc_grav, trans_lidar_imu, rot_lidar_imu, cfg)
+        s2 = normalize_quaternions(s2, cfg, only_current=True)
+        s = jax.tree.map(lambda new, old: jnp.where(ok, new, old), s2, s)
+        return s, None
+
+    state, _ = jax.lax.scan(
+        step, state, (packet.time, packet.gyro, packet.acc, packet.mask)
+    )
+    return state
+
+
+def lidar_pose_update(state: EkfState, pose, pos_noise, ori_noise, cfg: EkfConfig) -> EkfState:
+    """Absolute pose measurement update from scan registration.
+
+    The reference declares the machinery (generic `update`, pose trail) but
+    never feeds a LiDAR pose into the filter — the RAD design's third stage.
+    Measurement: y = [t; q] with H selecting POS and ORI, Cholesky innovation
+    solve, then quaternion renormalization.
+    """
+    # state quaternion is world->body; the pose's rotation is body->world
+    q_meas = lie.rot_to_quat(pose[:3, :3].T)
+    # resolve quaternion double cover against the current estimate
+    q_cur = state.m[ORI:ORI + 4]
+    q_meas = jnp.where(jnp.dot(q_meas, q_cur) < 0, -q_meas, q_meas)
+    y = jnp.concatenate([pose[:3, 3], q_meas])
+
+    H = jnp.zeros((7, ORI + 4), jnp.float64)
+    H = H.at[jnp.arange(3), POS + jnp.arange(3)].set(1.0)
+    H = H.at[3 + jnp.arange(4), ORI + jnp.arange(4)].set(1.0)
+    noise_scale = cfg.noise_scale * cfg.noise_scale
+    Rn = jnp.diag(
+        jnp.concatenate(
+            [
+                jnp.full((3,), pos_noise**2, jnp.float64),
+                jnp.full((4,), ori_noise**2, jnp.float64),
+            ]
+        )
+    ) * noise_scale
+    m, P = kalman_update(state.m, state.P, y, H, Rn)
+    state = state._replace(m=m, P=P)
+    state = maintain_positive_semi_definite(state)
+    return normalize_quaternions(state, cfg, only_current=True)
+
+
+# ---------------------------------------------------------------------------
+# Accessors (reference ekf.cpp:766-795)
+# ---------------------------------------------------------------------------
+
+
+def position(state: EkfState) -> jnp.ndarray:
+    return state.m[POS:POS + 3]
+
+
+def velocity(state: EkfState) -> jnp.ndarray:
+    return state.m[VEL:VEL + 3]
+
+
+def orientation(state: EkfState) -> jnp.ndarray:
+    return state.m[ORI:ORI + 4]
+
+
+def speed(state: EkfState) -> jnp.ndarray:
+    return jnp.linalg.norm(state.m[VEL:VEL + 3])
+
+
+def pose_matrix(state: EkfState) -> jnp.ndarray:
+    """Current (4,4) world-from-imu transform.
+
+    The filter quaternion follows the propagation convention q: world->body
+    (vel += R(q)^T a_b + g, reference ekf.cpp:497), so the world-from-body
+    rotation is the transpose."""
+    return lie.make_transform(
+        lie.quat_to_rot(orientation(state)).T, position(state)
+    )

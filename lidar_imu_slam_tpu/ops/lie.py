@@ -47,28 +47,40 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
+def _safe_theta(w: jnp.ndarray):
+    """(theta_sq, small_mask, safe_theta): autodiff-safe angle of (..., 3).
+
+    jnp.linalg.norm has a NaN gradient at 0; every consumer below switches to
+    a polynomial-in-theta^2 Taylor branch when small, and evaluates the exact
+    branch at a clamped argument, so gradients stay finite at the identity.
+    """
+    sq = jnp.sum(w * w, axis=-1)
+    small = sq < _EPS
+    safe = jnp.sqrt(jnp.where(small, 1.0, sq))
+    return sq, small, safe
+
+
+def _sinc_from(sq, small, safe_theta) -> jnp.ndarray:
+    """sin(theta)/theta, Taylor-guarded, gradient-safe at 0."""
+    return jnp.where(small, 1.0 - sq / 6.0, sin_(safe_theta) / safe_theta)
+
+
 def _sinc(theta: jnp.ndarray) -> jnp.ndarray:
-    """sin(theta)/theta with Taylor guard."""
+    """sin(theta)/theta with Taylor guard (theta assumed >= 0 and safe)."""
     small = theta * theta < _EPS
     safe = jnp.where(small, 1.0, theta)
     return jnp.where(small, 1.0 - theta * theta / 6.0, sin_(safe) / safe)
 
 
-def _one_minus_cos_over_sq(theta: jnp.ndarray) -> jnp.ndarray:
-    """(1 - cos(theta)) / theta^2 with Taylor guard."""
-    sq = theta * theta
-    small = sq < _EPS
-    safe = jnp.where(small, 1.0, sq)
-    return jnp.where(small, 0.5 - sq / 24.0, (1.0 - cos_(theta)) / safe)
-
-
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: (..., 3) rotation vector -> (..., 3, 3) rotation matrix."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    sq, small, safe = _safe_theta(w)
     W = hat(w)
     W2 = W @ W
-    a = _sinc(theta)[..., None, None]
-    b = _one_minus_cos_over_sq(theta)[..., None, None]
+    a = _sinc_from(sq, small, safe)[..., None, None]
+    b = jnp.where(small, 0.5 - sq / 24.0, (1.0 - cos_(safe)) / jnp.where(small, 1.0, sq))[
+        ..., None, None
+    ]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a * W + b * W2
 
@@ -80,13 +92,11 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
 
 def _so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     """V(w) such that se3_exp([v, w]) has translation V(w) @ v."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    sq, small, theta = _safe_theta(w)
     W = hat(w)
     W2 = W @ W
-    sq = theta * theta
-    small = sq < _EPS
     safe_sq = jnp.where(small, 1.0, sq)
-    safe_cube = jnp.where(small, 1.0, sq * theta)
+    safe_cube = safe_sq * theta
     b = jnp.where(small, 0.5 - sq / 24.0, (1.0 - cos_(theta)) / safe_sq)
     c = jnp.where(small, 1.0 / 6.0 - sq / 120.0, (theta - sin_(theta)) / safe_cube)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -94,11 +104,9 @@ def _so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
-    theta = jnp.linalg.norm(w, axis=-1)
+    sq, small, theta = _safe_theta(w)
     W = hat(w)
     W2 = W @ W
-    sq = theta * theta
-    small = sq < _EPS
     half = jnp.where(small, 1.0, theta / 2.0)
     # 1/theta^2 - (1+cos)/(2 theta sin) == (1/theta^2)(1 - (theta/2)/tan(theta/2))
     cot = jnp.where(small, 1.0, half / tan_(half))
@@ -233,7 +241,10 @@ def rot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
     tz = 1.0 - m00 - m11 + m22
 
     def safe_sqrt(v):
-        return jnp.sqrt(jnp.maximum(v, 0.0))
+        # clamp away from 0: sqrt's derivative at 0 is inf, and reverse-mode
+        # multiplies it by the (zero) cotangent of unselected candidates,
+        # yielding NaN; the clamped candidates are never the argmax pivot
+        return jnp.sqrt(jnp.maximum(v, _EPS))
 
     # Pivot position carries t = s^2 so that t / (2 s) = s / 2, the correct
     # pivot component; off-pivot entries are the standard (m_ij +- m_ji)/(2 s).
@@ -263,17 +274,21 @@ def quat_log(q: jnp.ndarray) -> jnp.ndarray:
     q = jnp.where(q[..., 0:1] < 0, -q, q)  # shortest path
     vec = q[..., 1:]
     w = jnp.clip(q[..., 0], -1.0, 1.0)
-    n = jnp.linalg.norm(vec, axis=-1)
+    n_sq = jnp.sum(vec * vec, axis=-1)
+    small = n_sq < _EPS
+    n = jnp.sqrt(jnp.where(small, 1.0, n_sq))
     angle = 2.0 * atan2_(n, w)
-    scale = jnp.where(n < _EPS, 2.0 / jnp.where(w < _EPS, 1.0, w), angle / jnp.where(n < _EPS, 1.0, n))
+    scale = jnp.where(small, 2.0 / jnp.where(w < _EPS, 1.0, w), angle / n)
     return vec * scale[..., None]
 
 
 def quat_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rotation vector (..., 3) -> unit quaternion."""
-    theta = jnp.linalg.norm(w, axis=-1)
-    half = 0.5 * theta
-    s = 0.5 * _sinc(half)  # sin(theta/2)/theta
+    sq, small, theta = _safe_theta(w)
+    half = jnp.where(small, 0.0, 0.5 * theta)
+    s = 0.5 * jnp.where(
+        small, 1.0 - sq / 24.0, _sinc(jnp.where(small, 1.0, half))
+    )  # sin(theta/2)/theta
     return jnp.concatenate([cos_(half)[..., None], w * s[..., None]], axis=-1)
 
 
@@ -323,9 +338,10 @@ def quat_propagator(w: jnp.ndarray, dt) -> jnp.ndarray:
     Since S_struct(w)^2 = -|w|^2 I, exp(c*S) = cos(c|w|) I + sinc(c|w|) * c * S.
     """
     c = -0.5 * jnp.asarray(dt)
-    theta = jnp.linalg.norm(w, axis=-1) * jnp.abs(c)
-    # exp(c S) with |c S| eigen-angle = |c| |w|
-    cw = jnp.linalg.norm(w, axis=-1) * c  # signed
+    sq, small, norm_w = _safe_theta(w)
+    safe_norm = jnp.where(small, 0.0, norm_w)
+    theta = safe_norm * jnp.abs(c)
+    cw = safe_norm * c  # signed; |c S| eigen-angle = |c| |w|
     eye = jnp.eye(4, dtype=w.dtype)
     S = quat_xi_matrix(w)
     a = cos_(theta)

@@ -193,9 +193,11 @@ def nearest_neighbors(m: VoxelMap, queries, qmask, cfg: MapConfig):
     present = slots >= 0
     safe_slot = jnp.where(present, slots, 0)
     cnt = jnp.where(present, m.npts[safe_slot], 0)  # (N*27,)
-    base = safe_slot.astype(jnp.int32) * k
-    gather_idx = base[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]  # (N*27, K)
-    cand = m.points[gather_idx.reshape(-1)].reshape(n, 27 * k, 3)
+    # gather whole K-point block rows (K*3 floats each): one wide-row gather
+    # instead of N*27*K tiny 12-byte gathers — TPU gather throughput scales
+    # with row width, not row count
+    rows = m.points.reshape(m.npts.shape[0], k * 3)  # view, no copy
+    cand = rows[safe_slot].reshape(n, 27 * k, 3)
     cand_valid = (jnp.arange(k, dtype=jnp.int32)[None, :] < cnt[:, None]).reshape(n, 27 * k)
 
     diff = cand - queries[:, None, :].astype(jnp.float32)

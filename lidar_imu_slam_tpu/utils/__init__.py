@@ -1,4 +1,5 @@
 from . import trajectory
 from . import metrics
+from . import profiling
 
-__all__ = ["trajectory", "metrics"]
+__all__ = ["trajectory", "metrics", "profiling"]

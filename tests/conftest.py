@@ -2,11 +2,20 @@
 
 Multi-chip hardware is unavailable in CI; sharding paths are validated on a
 virtual host-platform mesh per the project build rules.
+
+The image's /root/.axon_site sitecustomize imports jax and initializes the
+PJRT backend at interpreter start, which freezes the device count before any
+conftest code can set xla_force_host_platform_device_count. When that
+sitecustomize is on PYTHONPATH, re-exec pytest once with a cleaned
+environment.
 """
 
 import os
+import sys
 
-# force: the image exports JAX_PLATFORMS=axon (single real TPU via tunnel)
+# NOTE: the axon-sitecustomize re-exec lives in the repo-root conftest.py
+# (must run before pytest's capture manager starts).
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,3 +26,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# single-core CI box: persistent compile cache makes reruns tolerable
+jax.config.update("jax_compilation_cache_dir", "/tmp/lis_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,211 @@
+"""Voxel-map property tests, mirroring reference src/tests/hash_map_test.hpp
+(basic_test :8-52, test_insert_points :53-100, test_closest_neighbor
+:102-128, test_correspondences :130-208, test_remove_points_from_far
+:210-246) plus new coverage the reference lacks: capacity limits, tombstone
+reuse, rebuild, first-point-per-voxel downsampling.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_imu_slam_tpu.config import MapConfig
+from lidar_imu_slam_tpu.ops import voxel_map as vm
+
+CFG = MapConfig(voxel_size=1.0, max_points_per_voxel=10, max_range=100.0, capacity=1 << 12)
+
+
+def _insert(m, pts, cfg=CFG):
+    pts = jnp.asarray(np.asarray(pts, np.float32))
+    return vm.insert(m, pts, jnp.ones(pts.shape[0], bool), cfg)
+
+
+def _nn(m, queries, cfg=CFG):
+    q = jnp.asarray(np.asarray(queries, np.float32))
+    return vm.nearest_neighbors(m, q, jnp.ones(q.shape[0], bool), cfg)
+
+
+class TestInsert:
+    def test_basic_insert_and_count(self):
+        # mirrors basic_test: distinct voxels get distinct blocks
+        m = vm.create(CFG)
+        pts = [[0.5, 0.5, 0.5], [1.5, 0.5, 0.5], [0.5, 1.5, 0.5], [5.2, 5.2, 5.2]]
+        m = _insert(m, pts)
+        assert int(vm.num_voxels(m)) == 4
+
+    def test_same_voxel_accumulates(self):
+        m = vm.create(CFG)
+        pts = [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [0.3, 0.3, 0.3]]
+        m = _insert(m, pts)
+        assert int(vm.num_voxels(m)) == 1
+        assert int(jnp.max(m.npts)) == 3
+
+    def test_max_points_per_voxel_enforced(self):
+        # mirrors test_insert_points at several capacities
+        for k in (1, 3, 10):
+            cfg = MapConfig(voxel_size=1.0, max_points_per_voxel=k, capacity=1 << 10)
+            m = vm.create(cfg)
+            pts = np.random.default_rng(0).uniform(0.05, 0.95, (25, 3))
+            m = _insert(m, pts, cfg)
+            assert int(jnp.max(m.npts)) == k
+
+    def test_insert_earlier_points_win(self):
+        # reference inserts sequentially; first arrivals fill the block
+        cfg = MapConfig(voxel_size=1.0, max_points_per_voxel=2, capacity=1 << 10)
+        m = vm.create(cfg)
+        pts = [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [0.3, 0.3, 0.3]]
+        m = _insert(m, pts, cfg)
+        stored = np.asarray(m.points.reshape(cfg.capacity, 2, 3))
+        slot = int(jnp.argmax(m.npts))
+        np.testing.assert_allclose(
+            sorted(stored[slot].tolist()), [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2]], atol=1e-6
+        )
+
+    def test_incremental_insert_appends(self):
+        m = vm.create(CFG)
+        m = _insert(m, [[0.1, 0.1, 0.1]])
+        m = _insert(m, [[0.5, 0.5, 0.5]])
+        assert int(vm.num_voxels(m)) == 1
+        assert int(jnp.max(m.npts)) == 2
+
+    def test_negative_coordinates_truncation(self):
+        # voxel index truncates toward zero: -0.5 and +0.5 share voxel 0
+        m = vm.create(CFG)
+        m = _insert(m, [[-0.5, 0.0, 0.0], [0.5, 0.0, 0.0], [-1.5, 0.0, 0.0]])
+        assert int(vm.num_voxels(m)) == 2  # voxel (0,0,0) and (-1,0,0)
+
+    def test_mask_respected(self):
+        m = vm.create(CFG)
+        pts = jnp.asarray(np.array([[0.1, 0.1, 0.1], [5.0, 5.0, 5.0]], np.float32))
+        m = vm.insert(m, pts, jnp.asarray([True, False]), CFG)
+        assert int(vm.num_voxels(m)) == 1
+
+
+class TestNearestNeighbor:
+    def test_exact_match(self):
+        # mirrors test_closest_neighbor
+        m = vm.create(CFG)
+        pts = [[0.5, 0.5, 0.5], [2.5, 2.5, 2.5], [4.5, 4.5, 4.5]]
+        m = _insert(m, pts)
+        nn, d2, found = _nn(m, [[0.6, 0.5, 0.5]])
+        assert bool(found[0])
+        np.testing.assert_allclose(nn[0], [0.5, 0.5, 0.5], atol=1e-6)
+        assert float(d2[0]) < 0.011
+
+    def test_diagonal_neighbor_voxel(self):
+        # the sqrt(3) diagonal case from hash_map_test.hpp:102-128
+        m = vm.create(CFG)
+        m = _insert(m, [[1.9, 1.9, 1.9]])
+        nn, d2, found = _nn(m, [[1.1, 1.1, 1.1]])  # same voxel
+        assert bool(found[0])
+        nn, d2, found = _nn(m, [[0.9, 0.9, 0.9]])  # diagonal neighbor voxel
+        assert bool(found[0])
+        np.testing.assert_allclose(nn[0], [1.9, 1.9, 1.9], atol=1e-6)
+
+    def test_true_nearest_among_neighbors(self):
+        # deviation from reference (max-heap bug): we must return the true NN
+        m = vm.create(CFG)
+        m = _insert(m, [[0.5, 0.5, 0.5], [1.1, 0.5, 0.5], [2.5, 0.5, 0.5]])
+        nn, d2, found = _nn(m, [[0.95, 0.5, 0.5]])
+        np.testing.assert_allclose(nn[0], [1.1, 0.5, 0.5], atol=1e-6)
+
+    def test_not_found_beyond_neighborhood(self):
+        m = vm.create(CFG)
+        m = _insert(m, [[10.5, 10.5, 10.5]])
+        nn, d2, found = _nn(m, [[0.5, 0.5, 0.5]])
+        assert not bool(found[0])
+        assert np.isinf(float(d2[0]))
+
+    def test_correspondence_distance_bound(self):
+        # mirrors test_correspondences: all matches within max distance
+        rng = np.random.default_rng(1)
+        stored = rng.uniform(0, 20, (500, 3))
+        m = _insert(vm.create(CFG), stored)
+        queries = stored[:100] + rng.normal(0, 0.1, (100, 3))
+        nn, d2, found = _nn(m, queries)
+        assert bool(jnp.all(found))
+        # brute-force ground truth within 3x3x3 neighborhood
+        for i in range(0, 100, 7):
+            q = queries[i]
+            dv = np.abs((stored / 1.0).astype(np.int32) - (q / 1.0).astype(np.int32))
+            in_nbhd = (dv <= 1).all(1)
+            bf = np.min(np.sum((stored[in_nbhd] - q) ** 2, axis=1))
+            np.testing.assert_allclose(float(d2[i]), bf, rtol=1e-4)
+
+
+class TestEviction:
+    def test_remove_far_blocks(self):
+        # mirrors test_remove_points_from_far
+        cfg = MapConfig(voxel_size=1.0, max_points_per_voxel=10, max_range=10.0, capacity=1 << 10)
+        m = vm.create(cfg)
+        m = _insert(m, [[0.5, 0.5, 0.5], [5.0, 0.5, 0.5], [20.0, 0.5, 0.5]], cfg)
+        assert int(vm.num_voxels(m)) == 3
+        m = vm.evict_far(m, jnp.zeros(3), cfg)
+        assert int(vm.num_voxels(m)) == 2
+        nn, d2, found = _nn(m, [[20.0, 0.5, 0.5]], cfg)
+        assert not bool(found[0])
+
+    def test_lookup_still_works_after_eviction(self):
+        # tombstones must not break probe chains
+        cfg = MapConfig(voxel_size=1.0, max_points_per_voxel=4, max_range=10.0, capacity=64)
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(-8, 8, (100, 3))
+        m = _insert(vm.create(cfg), pts, cfg)
+        m = vm.evict_far(m, jnp.asarray([50.0, 0.0, 0.0], jnp.float32), cfg)  # evict all
+        assert int(vm.num_voxels(m)) == 0
+        pts2 = rng.uniform(-8, 8, (60, 3))
+        m = _insert(m, pts2, cfg)
+        nn, d2, found = _nn(m, pts2[:20], cfg)
+        assert bool(jnp.all(found))
+        assert float(jnp.max(d2[:20])) < 1e-6
+
+    def test_rebuild_preserves_content(self):
+        cfg = MapConfig(voxel_size=1.0, max_points_per_voxel=4, max_range=50.0, capacity=256)
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-10, 10, (200, 3)).astype(np.float32)
+        m = _insert(vm.create(cfg), pts, cfg)
+        n_before = int(vm.num_voxels(m))
+        m2 = vm.rebuild(m, cfg)
+        assert int(vm.num_voxels(m2)) == n_before
+        nn1, d1, f1 = _nn(m, pts[:50], cfg)
+        nn2, d2, f2 = _nn(m2, pts[:50], cfg)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+
+class TestDownsample:
+    def test_one_point_per_voxel(self):
+        pts = jnp.asarray(
+            np.array([[0.1, 0.1, 0.1], [0.9, 0.9, 0.9], [1.5, 0.1, 0.1]], np.float32)
+        )
+        out, mask, n = vm.first_point_per_voxel(pts, jnp.ones(3, bool), 1.0, 8)
+        assert int(n) == 2
+        assert int(jnp.sum(mask)) == 2
+
+    def test_first_point_wins(self):
+        # within a voxel the earliest array element is kept (reference
+        # voxel_downsample insertion-order semantics, icp.cpp:13-19)
+        pts = jnp.asarray(
+            np.array([[0.7, 0.7, 0.7], [0.1, 0.1, 0.1]], np.float32)
+        )
+        out, mask, n = vm.first_point_per_voxel(pts, jnp.ones(2, bool), 1.0, 4)
+        kept = np.asarray(out)[np.asarray(mask)]
+        np.testing.assert_allclose(kept, [[0.7, 0.7, 0.7]], atol=1e-6)
+
+    def test_capacity_overflow_drops(self):
+        rng = np.random.default_rng(4)
+        pts = jnp.asarray(rng.uniform(0, 50, (300, 3)).astype(np.float32))
+        out, mask, n = vm.first_point_per_voxel(pts, jnp.ones(300, bool), 1.0, 16)
+        assert int(jnp.sum(mask)) == 16  # capped, no crash
+
+
+class TestExport:
+    def test_export_roundtrip(self):
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(0, 10, (50, 3)).astype(np.float32)
+        m = _insert(vm.create(CFG), pts)
+        cloud, mask = vm.export_points(m, CFG)
+        exported = np.asarray(cloud)[np.asarray(mask)]
+        assert exported.shape[0] == 50
+        assert set(map(tuple, exported.round(4).tolist())) == set(
+            map(tuple, pts.round(4).tolist())
+        )
