@@ -91,12 +91,40 @@ def icp_registration(
     norm of the last increment drops below `estimation_threshold`.
     """
     max_d2 = max_corresp_dist * max_corresp_dist
+    pts64 = points.astype(jnp.float64)
 
-    def one_iteration(T_icp):
+    def fetch(T):
+        world = lie.transform_points(T, pts64).astype(jnp.float32)
+        cand, cand_valid = voxel_map.gather_candidates(m, world, mask, map_cfg)
+        return cand, cand_valid
+
+    # Candidate neighborhoods are fetched once at the initial guess — the
+    # hash probes + HBM gathers dominate NN cost, while per-iteration
+    # distance reductions over the cached (N, 27K, 3) block are VPU-only.
+    # If the accumulated correction drifts beyond half a voxel the
+    # neighborhoods go stale, so the loop refetches (cond-gated). Deviation
+    # from the reference, which re-queries the map every iteration
+    # (registration.cpp:108-126); identical results while the correction
+    # stays within the fetched 3x3x3 shell.
+    refetch_d2 = (0.5 * map_cfg.voxel_size) ** 2
+    cand0, valid0 = fetch(init_guess)
+
+    def cond(state):
+        j, _, converged, _, _, _, _, _ = state
+        return (j < max_iterations) & ~converged
+
+    def body(state):
+        j, T_icp, _, _, _, cand, cand_valid, anchor_t = state
         T = T_icp @ init_guess
-        world = lie.transform_points(T, points.astype(jnp.float64))
-        nn, d2, found = voxel_map.nearest_neighbors(
-            m, world.astype(jnp.float32), mask, map_cfg
+        stale = jnp.sum((T[:3, 3] - anchor_t) ** 2) > refetch_d2
+        cand, cand_valid = jax.lax.cond(
+            stale, lambda: fetch(T), lambda: (cand, cand_valid)
+        )
+        anchor_t = jnp.where(stale, T[:3, 3], anchor_t)
+
+        world = lie.transform_points(T, pts64)
+        nn, d2, found = voxel_map.nn_from_candidates(
+            cand, cand_valid, world.astype(jnp.float32), mask
         )
         corr = found & (d2 < max_d2)
         estimate = align_clouds(world, nn, corr, kernel_th)
@@ -104,18 +132,9 @@ def icp_registration(
         rms = jnp.sqrt(
             jnp.sum(jnp.where(corr, d2, 0.0)) / jnp.maximum(n_corr, 1)
         ).astype(jnp.float64)
-        return estimate, n_corr, rms
-
-    def cond(state):
-        j, _, converged, _, _ = state
-        return (j < max_iterations) & ~converged
-
-    def body(state):
-        j, T_icp, _, _, _ = state
-        estimate, n_corr, rms = one_iteration(T_icp)
         T_new = estimate @ T_icp
         converged = jnp.linalg.norm(lie.se3_log(estimate)) < estimation_threshold
-        return j + 1, T_new, converged, n_corr, rms
+        return j + 1, T_new, converged, n_corr, rms, cand, cand_valid, anchor_t
 
     init = (
         jnp.int32(0),
@@ -123,8 +142,11 @@ def icp_registration(
         jnp.asarray(False),
         jnp.int32(0),
         jnp.float64(0.0),
+        cand0,
+        valid0,
+        init_guess[:3, 3],
     )
-    j, T_icp, _, n_corr, rms = jax.lax.while_loop(cond, body, init)
+    j, T_icp, _, n_corr, rms, _, _, _ = jax.lax.while_loop(cond, body, init)
 
     # empty map: return the guess untouched (reference registration.cpp:99-100)
     empty = voxel_map.num_voxels(m) == 0

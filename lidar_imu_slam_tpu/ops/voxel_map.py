@@ -47,6 +47,9 @@ from ..config import MapConfig
 
 EMPTY = jnp.int64(-1)
 DELETED = jnp.int64(-2)
+# sort sentinel for invalid entries: packed keys reach just below 2^63
+# (x >= 0 packs to >= 2^62), so the sentinel must be int64 max
+_SENTINEL = jnp.int64((1 << 63) - 1)
 _OFF = jnp.int64(1 << 20)
 _MASK21 = jnp.int64((1 << 21) - 1)
 
@@ -87,17 +90,20 @@ def unpack_key(key: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
 
 
-def _hash_vox(vox: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """Reference spatial hash (types.hpp:43-50), masked to table size."""
-    v = vox.astype(jnp.uint32)
-    h = (v[..., 0] * jnp.uint32(73856093)) ^ (v[..., 1] * jnp.uint32(19349663)) ^ (
-        v[..., 2] * jnp.uint32(83492791)
-    )
-    return (h & jnp.uint32(capacity - 1)).astype(jnp.int32)
-
-
 def _hash_key(key: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    return _hash_vox(unpack_key(key), capacity)
+    """splitmix64 finalizer on the packed key, masked to table size.
+
+    Deviation from the reference's 3-prime XOR hash (types.hpp:43-50): that
+    hash clusters under power-of-two masking (measured max probe chain 8 at
+    load 0.2 vs 6 for splitmix) and every extra probe round is a full-width
+    gather; the hash function is not behaviorally observable, only probe
+    counts change.
+    """
+    k = key.astype(jnp.uint64)
+    k = (k ^ (k >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    k = (k ^ (k >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    k = k ^ (k >> jnp.uint64(31))
+    return (k & jnp.uint64(capacity - 1)).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -115,8 +121,7 @@ def first_point_per_voxel(points, mask, voxel_size: float, out_capacity: int):
     Returns (out_points (M,3) f32, out_mask (M,), n_unique ()).
     """
     key = pack_key(voxel_of(points, voxel_size))
-    big = jnp.int64(1) << 62
-    key = jnp.where(mask, key, big)
+    key = jnp.where(mask, key, _SENTINEL)
     order = jnp.argsort(key, stable=True)
     key_s = key[order]
     pts_s = points[order]
@@ -137,6 +142,80 @@ def first_point_per_voxel(points, mask, voxel_size: float, out_capacity: int):
 # ---------------------------------------------------------------------------
 # Lookup
 # ---------------------------------------------------------------------------
+
+
+_FP_WIDTH = 8  # wide-probe window; splitmix chains at load <= 0.3 stay under it
+
+
+def _fingerprint(key: jnp.ndarray) -> jnp.ndarray:
+    """31-bit fingerprint of a packed key; 0/1 reserved for EMPTY/DELETED."""
+    k = key.astype(jnp.uint64)
+    k = (k ^ (k >> jnp.uint64(33))) * jnp.uint64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> jnp.uint64(33))
+    fp = (k >> jnp.uint64(33)).astype(jnp.int32)  # 31 bits, non-negative
+    return jnp.where(fp < 2, fp + 2, fp)
+
+
+def _fps_wide(table_keys: jnp.ndarray) -> jnp.ndarray:
+    """(C, W) fingerprint window: row s holds fps of slots s..s+W-1 (wrapped).
+
+    Computed on the fly from the keys (cheap: one pass + W rolls); turns the
+    per-round probe gathers into a single wide-row gather per query.
+    """
+    fp = _fingerprint(table_keys)
+    fp = jnp.where(table_keys == EMPTY, 0, fp)
+    fp = jnp.where(table_keys == DELETED, 1, fp)
+    return jnp.stack(
+        [jnp.roll(fp, -j) for j in range(_FP_WIDTH)], axis=1
+    )
+
+
+def _lookup_wide(table_keys, fps_wide, qkeys, qvalid, max_probes: int):
+    """One-shot wide-window probe: a single (N, W) fingerprint-row gather
+    resolves every chain of length <= W; rare longer chains fall back to the
+    scalar probe loop starting at offset W.
+
+    False-positive fingerprint matches (~2^-31 per probe) can return a
+    neighboring block once per ~1e4 scans; the robust ICP kernel absorbs it
+    — documented accuracy/speed trade.
+    """
+    capacity = table_keys.shape[0]
+    h0 = _hash_key(qkeys, capacity)
+    rows = fps_wide[h0]  # (N, W) int32
+    qfp = _fingerprint(qkeys)[:, None]
+    matched = rows == qfp
+    is_empty = rows == 0
+    pos_match = jnp.argmax(matched, axis=1)
+    has_match = jnp.any(matched, axis=1)
+    pos_empty = jnp.where(
+        jnp.any(is_empty, axis=1), jnp.argmax(is_empty, axis=1), _FP_WIDTH
+    )
+    found = qvalid & has_match & (pos_match < pos_empty)
+    absent = qvalid & ~found & (pos_empty < _FP_WIDTH)
+    slots = jnp.where(
+        found, (h0 + pos_match.astype(jnp.int32)) & (capacity - 1), jnp.int32(-1)
+    )
+    # unresolved: no match and no EMPTY within the window -> keep probing
+    unresolved = qvalid & ~found & ~absent
+
+    def cond(state):
+        j, slots = state
+        return (j < max_probes) & jnp.any(slots == -2)
+
+    def body(state):
+        j, slots = state
+        active = slots == -2
+        cand = (h0 + j) & (capacity - 1)
+        k_at = table_keys[cand]
+        hit = active & (k_at == qkeys)
+        end = active & (k_at == EMPTY)
+        slots = jnp.where(hit, cand, slots)
+        slots = jnp.where(end, jnp.int32(-1), slots)
+        return j + 1, slots
+
+    slots = jnp.where(unresolved, jnp.int32(-2), slots)
+    _, slots = jax.lax.while_loop(cond, body, (jnp.int32(_FP_WIDTH), slots))
+    return jnp.where(slots == -2, jnp.int32(-1), slots)
 
 
 def _lookup(table_keys: jnp.ndarray, qkeys: jnp.ndarray, qvalid: jnp.ndarray, max_probes: int):
@@ -175,12 +254,14 @@ _NEIGHBOR_OFFSETS = jnp.stack(
 ).reshape(27, 3)
 
 
-def nearest_neighbors(m: VoxelMap, queries, qmask, cfg: MapConfig):
-    """True NN over the 3x3x3 voxel neighborhood of each query.
+def gather_candidates(m: VoxelMap, queries, qmask, cfg: MapConfig):
+    """Fetch the 3x3x3-neighborhood candidate blocks for each query point.
 
-    Returns (nn_points (N,3) f32, nn_dist_sq (N,) f32, found (N,) bool).
-    See module docstring for the deviation from reference
-    voxel_hash_map.cpp:64-102.
+    The expensive part of NN search (hash probes + wide-row gathers),
+    separated from the cheap distance reduction so callers (the ICP loop)
+    can fetch once per scan and re-reduce every iteration.
+
+    Returns (cand (N, 27*K, 3) f32, cand_valid (N, 27*K) bool).
     """
     k = cfg.max_points_per_voxel
     n = queries.shape[0]
@@ -188,7 +269,8 @@ def nearest_neighbors(m: VoxelMap, queries, qmask, cfg: MapConfig):
     nbr = vox[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]  # (N, 27, 3)
     nkeys = pack_key(nbr).reshape(-1)  # (N*27,)
     nvalid = jnp.repeat(qmask, 27)
-    slots = _lookup(m.keys, nkeys, nvalid, cfg.max_probes)  # (N*27,)
+    fps = _fps_wide(m.keys)
+    slots = _lookup_wide(m.keys, fps, nkeys, nvalid, cfg.max_probes)  # (N*27,)
 
     present = slots >= 0
     safe_slot = jnp.where(present, slots, 0)
@@ -198,8 +280,17 @@ def nearest_neighbors(m: VoxelMap, queries, qmask, cfg: MapConfig):
     # with row width, not row count
     rows = m.points.reshape(m.npts.shape[0], k * 3)  # view, no copy
     cand = rows[safe_slot].reshape(n, 27 * k, 3)
-    cand_valid = (jnp.arange(k, dtype=jnp.int32)[None, :] < cnt[:, None]).reshape(n, 27 * k)
+    cand_valid = (
+        jnp.arange(k, dtype=jnp.int32)[None, :] < cnt[:, None]
+    ).reshape(n, 27 * k)
+    return cand, cand_valid
 
+
+def nn_from_candidates(cand, cand_valid, queries, qmask):
+    """Distance argmin over pre-fetched candidates (VPU-only, no gathers).
+
+    Returns (nn_points (N,3) f32, nn_dist_sq (N,) f32, found (N,) bool).
+    """
     diff = cand - queries[:, None, :].astype(jnp.float32)
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(cand_valid, d2, jnp.inf)
@@ -210,6 +301,17 @@ def nearest_neighbors(m: VoxelMap, queries, qmask, cfg: MapConfig):
     return nn_pt, jnp.where(found, nn_d2, jnp.inf), found
 
 
+def nearest_neighbors(m: VoxelMap, queries, qmask, cfg: MapConfig):
+    """True NN over the 3x3x3 voxel neighborhood of each query.
+
+    Returns (nn_points (N,3) f32, nn_dist_sq (N,) f32, found (N,) bool).
+    See module docstring for the deviation from reference
+    voxel_hash_map.cpp:64-102.
+    """
+    cand, cand_valid = gather_candidates(m, queries, qmask, cfg)
+    return nn_from_candidates(cand, cand_valid, queries, qmask)
+
+
 # ---------------------------------------------------------------------------
 # Insert (reference voxel_hash_map.cpp:12-62)
 # ---------------------------------------------------------------------------
@@ -218,21 +320,53 @@ def nearest_neighbors(m: VoxelMap, queries, qmask, cfg: MapConfig):
 def _find_insert_slots(table_keys, qkeys, active, max_probes: int, attempts: int = 4):
     """Find-or-allocate a slot for each unique key (claim contest on ties).
 
+    Per attempt: one wide fingerprint-window gather resolves match/first-free
+    for chains within _FP_WIDTH (matches are verified against the real key —
+    inserts must be exact); longer chains take the scalar probe loop. Claim
+    conflicts lose and retry against the updated table.
+
     Returns (updated_table_keys, slots (N,) int32 with -1 for dropped keys,
     reused_tombstones ()).
     """
     capacity = table_keys.shape[0]
     n = qkeys.shape[0]
     h0 = _hash_key(qkeys, capacity)
+    qfp = _fingerprint(qkeys)
     idxs = jnp.arange(n, dtype=jnp.int32)
     result = jnp.where(active, jnp.int32(-2), jnp.int32(-1))
     reused = jnp.zeros((), jnp.int32)
 
-    def attempt_body(_, carry):
+    def attempt_body(carry):
         table_keys, result, reused = carry
+        unresolved = result == -2
 
-        # Phase 1: scan each key's probe chain for a match or first available
-        # slot; a chain ends at the first EMPTY.
+        # Phase 1a: wide window
+        rows = _fps_wide(table_keys)[h0]  # (N, W)
+        matched = rows == qfp[:, None]
+        is_empty = rows == 0
+        free = is_empty | (rows == 1)
+        pos_match = jnp.argmax(matched, axis=1).astype(jnp.int32)
+        pos_empty = jnp.where(
+            jnp.any(is_empty, axis=1), jnp.argmax(is_empty, axis=1), _FP_WIDTH
+        ).astype(jnp.int32)
+        pos_free = jnp.where(
+            jnp.any(free, axis=1), jnp.argmax(free, axis=1), _FP_WIDTH
+        ).astype(jnp.int32)
+        cand_match = jnp.any(matched, axis=1) & (pos_match < pos_empty)
+        mslot = (h0 + pos_match) & (capacity - 1)
+        verified = cand_match & (table_keys[mslot] == qkeys)
+        result = jnp.where(unresolved & verified, mslot, result)
+
+        # chain certainly ends inside the window -> key absent -> claimable
+        wide_claim = (
+            unresolved & ~verified & ~cand_match & (pos_empty < _FP_WIDTH)
+        )
+        wide_slot = (h0 + pos_free) & (capacity - 1)
+
+        # Phase 1b: scalar fallback for chains beyond the window or
+        # fingerprint false positives
+        needs_scan = unresolved & ~verified & ~wide_claim
+
         def scan_cond(s):
             j, scanning, _, _ = s
             return (j < max_probes) & jnp.any(scanning)
@@ -242,40 +376,50 @@ def _find_insert_slots(table_keys, qkeys, active, max_probes: int, attempts: int
             cand = (h0 + j) & (capacity - 1)
             k_at = table_keys[cand]
             is_match = scanning & (k_at == qkeys)
-            is_empty = scanning & (k_at == EMPTY)
-            is_deleted = scanning & (k_at == DELETED)
-            free = is_empty | is_deleted
-            avail = jnp.where(free & (avail < 0), cand, avail)
+            is_end = scanning & (k_at == EMPTY)
+            is_free = is_end | (scanning & (k_at == DELETED))
+            avail = jnp.where(is_free & (avail < 0), cand, avail)
             match = jnp.where(is_match, cand, match)
-            scanning = scanning & ~is_match & ~is_empty
+            scanning = scanning & ~is_match & ~is_end
             return j + 1, scanning, avail, match
 
-        unresolved = result == -2
         init = (
             jnp.int32(0),
-            unresolved,
+            needs_scan,
             jnp.full((n,), -1, jnp.int32),
             jnp.full((n,), -1, jnp.int32),
         )
-        _, _, avail, match = jax.lax.while_loop(scan_cond, scan_body, init)
-        result = jnp.where(unresolved & (match >= 0), match, result)
+        _, _, scan_avail, scan_match = jax.lax.while_loop(
+            scan_cond, scan_body, init
+        )
+        result = jnp.where(needs_scan & (scan_match >= 0), scan_match, result)
+        scan_claim = needs_scan & (scan_match < 0) & (scan_avail >= 0)
 
-        # Phase 2: claim contest for keys without a match.
-        claimer = (result == -2) & (avail >= 0)
-        claim_slot = jnp.where(claimer, avail, capacity)  # OOB -> dropped
+        # Phase 2: claim contest (min query index wins a slot)
+        claimer = wide_claim | scan_claim
+        slot = jnp.where(wide_claim, wide_slot, scan_avail)
+        claim_slot = jnp.where(claimer, slot, capacity)  # OOB -> dropped
         claims = jnp.full((capacity,), n, jnp.int32)
         claims = claims.at[claim_slot].min(idxs, mode="drop")
-        won = claimer & (claims[jnp.where(claimer, avail, 0)] == idxs)
-        was_tomb = won & (table_keys[jnp.where(won, avail, 0)] == DELETED)
+        won = claimer & (claims[jnp.where(claimer, slot, 0)] == idxs)
+        was_tomb = won & (table_keys[jnp.where(won, slot, 0)] == DELETED)
         reused = reused + jnp.sum(was_tomb, dtype=jnp.int32)
-        table_keys = table_keys.at[jnp.where(won, avail, capacity)].set(
+        table_keys = table_keys.at[jnp.where(won, slot, capacity)].set(
             qkeys, mode="drop"
         )
-        result = jnp.where(won, avail, result)
+        result = jnp.where(won, slot, result)
         return table_keys, result, reused
 
-    table_keys, result, reused = jax.lax.fori_loop(
-        0, attempts, attempt_body, (table_keys, result, reused)
+    def attempt_cond(carry_j):
+        j, (table_keys, result, reused) = carry_j
+        return (j < attempts) & jnp.any(result == -2)
+
+    def attempt_wrap(carry_j):
+        j, carry = carry_j
+        return j + 1, attempt_body(carry)
+
+    _, (table_keys, result, reused) = jax.lax.while_loop(
+        attempt_cond, attempt_wrap, (jnp.int32(0), (table_keys, result, reused))
     )
     return table_keys, jnp.where(result == -2, jnp.int32(-1), result), reused
 
@@ -292,8 +436,7 @@ def insert(m: VoxelMap, points, mask, cfg: MapConfig) -> VoxelMap:
     n = points.shape[0]
 
     key = pack_key(voxel_of(points, cfg.voxel_size))
-    big = jnp.int64(1) << 62
-    key = jnp.where(mask, key, big)
+    key = jnp.where(mask, key, _SENTINEL)
     order = jnp.argsort(key, stable=True)
     key_s = key[order]
     pts_s = points[order].astype(jnp.float32)
@@ -325,15 +468,19 @@ def insert(m: VoxelMap, points, mask, cfg: MapConfig) -> VoxelMap:
 # ---------------------------------------------------------------------------
 
 
-def evict_far(m: VoxelMap, origin, cfg: MapConfig) -> VoxelMap:
-    """Drop voxels far from `origin` and far points within them.
+def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False) -> VoxelMap:
+    """Drop voxels far from `origin` (and optionally far points within them).
 
     Far gate: voxel-index distance (scaled to meters by voxel_size) beyond
     max_range. The reference compares raw index distance against meters
     (voxel_hash_map.cpp:160), exact only for voxel_size == 1; we scale —
-    documented deviation. Inside far-gated voxels, points beyond max_range
-    of the origin are removed and the block compacted; an emptied block
-    becomes a tombstone (block erase, :166-167).
+    documented deviation.
+
+    Default path evicts the whole far block (tombstone). `exact_boundary`
+    additionally removes individual far points inside surviving far-gated
+    blocks and compacts them (reference voxel_hash_map.cpp:163-167 /
+    voxel_block.cpp:107-118 semantics) — only a <=1-voxel boundary shell
+    differs, at the cost of a per-block sort.
     """
     c, k = cfg.capacity, cfg.max_points_per_voxel
     occupied = m.keys >= 0
@@ -341,6 +488,15 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig) -> VoxelMap:
     origin_vox = voxel_of(origin, cfg.voxel_size)
     dvox = (vox - origin_vox[None, :]).astype(jnp.float32) * jnp.float32(cfg.voxel_size)
     far_block = occupied & (jnp.sum(dvox * dvox, axis=-1) > cfg.max_range**2)
+
+    if not exact_boundary:
+        new_keys = jnp.where(far_block, DELETED, m.keys)
+        return VoxelMap(
+            new_keys,
+            m.points,
+            jnp.where(far_block, 0, m.npts),
+            m.tombstones + jnp.sum(far_block, dtype=jnp.int32),
+        )
 
     pts = m.points.reshape(c, k, 3)
     live = jnp.arange(k, dtype=jnp.int32)[None, :] < m.npts[:, None]

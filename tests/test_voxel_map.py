@@ -145,8 +145,9 @@ class TestEviction:
         assert not bool(found[0])
 
     def test_lookup_still_works_after_eviction(self):
-        # tombstones must not break probe chains
-        cfg = MapConfig(voxel_size=1.0, max_points_per_voxel=4, max_range=10.0, capacity=64)
+        # tombstones must not break probe chains (capacity sized for the
+        # intended <=0.5 load factor; linear probing degrades beyond it)
+        cfg = MapConfig(voxel_size=1.0, max_points_per_voxel=4, max_range=10.0, capacity=256)
         rng = np.random.default_rng(2)
         pts = rng.uniform(-8, 8, (100, 3))
         m = _insert(vm.create(cfg), pts, cfg)
