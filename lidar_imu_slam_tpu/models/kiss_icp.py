@@ -97,16 +97,19 @@ def voxelize(points, mask, cfg: PipelineConfig):
 
 def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
     """One odometry step (reference icp.cpp:49-86). Returns (state', FrameOutput)."""
-    # 1. constant-velocity deskew, gated on config and >= 3 poses
-    #    (reference icp.cpp:36-47)
-    do_deskew = jnp.asarray(cfg.icp.deskew) & (state.num_poses > 2)
-    deskewed_xyz = jax.lax.cond(
-        do_deskew,
-        lambda: deskew_ops.constant_velocity_deskew(
-            scan.xyz, scan.tau, state.pose_prev, state.pose
-        ),
-        lambda: scan.xyz,
-    )
+    # 1. constant-velocity deskew, gated on config (static — lax.cond would
+    #    run the per-point exp map under vmap even when disabled) and on
+    #    >= 3 poses (reference icp.cpp:36-47)
+    if cfg.icp.deskew:
+        deskewed_xyz = jax.lax.cond(
+            state.num_poses > 2,
+            lambda: deskew_ops.constant_velocity_deskew(
+                scan.xyz, scan.tau, state.pose_prev, state.pose
+            ),
+            lambda: scan.xyz,
+        )
+    else:
+        deskewed_xyz = scan.xyz
 
     # 2. double voxel downsample + IQR source cleanup
     source, source_mask, map_pts, map_mask = voxelize(deskewed_xyz, scan.mask, cfg)

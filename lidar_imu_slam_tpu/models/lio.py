@@ -155,16 +155,18 @@ def step(
 
     # --- branch B: constant-velocity fallback ---------------------------
     def cv_branch(ekf_state):
-        do_deskew = jnp.asarray(cfg.icp.deskew) & (state.odo.num_poses > 2)
         from ..ops import deskew as deskew_ops
 
-        deskewed = jax.lax.cond(
-            do_deskew,
-            lambda: deskew_ops.constant_velocity_deskew(
-                scan.xyz, scan.tau, state.odo.pose_prev, state.odo.pose
-            ),
-            lambda: scan.xyz,
-        )
+        if cfg.icp.deskew:
+            deskewed = jax.lax.cond(
+                state.odo.num_poses > 2,
+                lambda: deskew_ops.constant_velocity_deskew(
+                    scan.xyz, scan.tau, state.odo.pose_prev, state.odo.pose
+                ),
+                lambda: scan.xyz,
+            )
+        else:
+            deskewed = scan.xyz
         last_pose = jnp.where(
             state.odo.num_poses == 0, jnp.eye(4, dtype=jnp.float64), state.odo.pose
         )

@@ -93,60 +93,79 @@ def icp_registration(
     max_d2 = max_corresp_dist * max_corresp_dist
     pts64 = points.astype(jnp.float64)
 
+    # Candidate neighborhoods are fetched once per OUTER round — the hash
+    # probes + HBM gathers dominate NN cost, while per-iteration distance
+    # reductions over the cached (N, 27K, 3) block are VPU-only. The inner
+    # loop iterates with fixed candidates until convergence or until the
+    # accumulated correction drifts beyond half a voxel (candidates stale);
+    # the outer loop refetches at the current pose. Two loops (instead of a
+    # cond-gated refetch inside one loop) keep the fetch out of the iteration
+    # body: under vmap lax.cond executes both branches, which would re-gather
+    # every iteration for every stream. Deviation from the reference, which
+    # re-queries the map every iteration (registration.cpp:108-126);
+    # identical results while corrections stay within the 3x3x3 shell.
+    refetch_d2 = (0.5 * map_cfg.voxel_size) ** 2
+    max_refetch = 6
+
     def fetch(T):
         world = lie.transform_points(T, pts64).astype(jnp.float32)
-        cand, cand_valid = voxel_map.gather_candidates(m, world, mask, map_cfg)
-        return cand, cand_valid
+        return voxel_map.gather_candidates(m, world, mask, map_cfg)
 
-    # Candidate neighborhoods are fetched once at the initial guess — the
-    # hash probes + HBM gathers dominate NN cost, while per-iteration
-    # distance reductions over the cached (N, 27K, 3) block are VPU-only.
-    # If the accumulated correction drifts beyond half a voxel the
-    # neighborhoods go stale, so the loop refetches (cond-gated). Deviation
-    # from the reference, which re-queries the map every iteration
-    # (registration.cpp:108-126); identical results while the correction
-    # stays within the fetched 3x3x3 shell.
-    refetch_d2 = (0.5 * map_cfg.voxel_size) ** 2
-    cand0, valid0 = fetch(init_guess)
+    def inner(carry):
+        j, T_icp, converged, n_corr, rms, cand, cand_valid, anchor_t = carry
 
-    def cond(state):
-        j, _, converged, _, _, _, _, _ = state
-        return (j < max_iterations) & ~converged
+        def inner_cond(state):
+            j, _, converged, _, _, stale = state
+            return (j < max_iterations) & ~converged & ~stale
 
-    def body(state):
-        j, T_icp, _, _, _, cand, cand_valid, anchor_t = state
+        def inner_body(state):
+            j, T_icp, _, _, _, _ = state
+            T = T_icp @ init_guess
+            world = lie.transform_points(T, pts64)
+            nn, d2, found = voxel_map.nn_from_candidates(
+                cand, cand_valid, world.astype(jnp.float32), mask
+            )
+            corr = found & (d2 < max_d2)
+            estimate = align_clouds(world, nn, corr, kernel_th)
+            n_corr = jnp.sum(corr, dtype=jnp.int32)
+            rms = jnp.sqrt(
+                jnp.sum(jnp.where(corr, d2, 0.0)) / jnp.maximum(n_corr, 1)
+            ).astype(jnp.float64)
+            T_new = estimate @ T_icp
+            converged = (
+                jnp.linalg.norm(lie.se3_log(estimate)) < estimation_threshold
+            )
+            drift = jnp.sum(((T_new @ init_guess)[:3, 3] - anchor_t) ** 2)
+            stale = ~converged & (drift > refetch_d2)
+            return j + 1, T_new, converged, n_corr, rms, stale
+
+        j, T_icp, converged, n_corr, rms, _ = jax.lax.while_loop(
+            inner_cond, inner_body, (j, T_icp, converged, n_corr, rms, jnp.asarray(False))
+        )
+        return j, T_icp, converged, n_corr, rms
+
+    def outer_cond(state):
+        r, j, _, converged, _, _ = state
+        return (r < max_refetch) & (j < max_iterations) & ~converged
+
+    def outer_body(state):
+        r, j, T_icp, converged, n_corr, rms = state
         T = T_icp @ init_guess
-        stale = jnp.sum((T[:3, 3] - anchor_t) ** 2) > refetch_d2
-        cand, cand_valid = jax.lax.cond(
-            stale, lambda: fetch(T), lambda: (cand, cand_valid)
+        cand, cand_valid = fetch(T)
+        j, T_icp, converged, n_corr, rms = inner(
+            (j, T_icp, converged, n_corr, rms, cand, cand_valid, T[:3, 3])
         )
-        anchor_t = jnp.where(stale, T[:3, 3], anchor_t)
-
-        world = lie.transform_points(T, pts64)
-        nn, d2, found = voxel_map.nn_from_candidates(
-            cand, cand_valid, world.astype(jnp.float32), mask
-        )
-        corr = found & (d2 < max_d2)
-        estimate = align_clouds(world, nn, corr, kernel_th)
-        n_corr = jnp.sum(corr, dtype=jnp.int32)
-        rms = jnp.sqrt(
-            jnp.sum(jnp.where(corr, d2, 0.0)) / jnp.maximum(n_corr, 1)
-        ).astype(jnp.float64)
-        T_new = estimate @ T_icp
-        converged = jnp.linalg.norm(lie.se3_log(estimate)) < estimation_threshold
-        return j + 1, T_new, converged, n_corr, rms, cand, cand_valid, anchor_t
+        return r + 1, j, T_icp, converged, n_corr, rms
 
     init = (
+        jnp.int32(0),
         jnp.int32(0),
         jnp.eye(4, dtype=jnp.float64),
         jnp.asarray(False),
         jnp.int32(0),
         jnp.float64(0.0),
-        cand0,
-        valid0,
-        init_guess[:3, 3],
     )
-    j, T_icp, _, n_corr, rms, _, _, _ = jax.lax.while_loop(cond, body, init)
+    _, j, T_icp, _, n_corr, rms = jax.lax.while_loop(outer_cond, outer_body, init)
 
     # empty map: return the guess untouched (reference registration.cpp:99-100)
     empty = voxel_map.num_voxels(m) == 0

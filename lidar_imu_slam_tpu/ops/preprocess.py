@@ -125,11 +125,23 @@ def preprocess_scan(raw: RawScan, cfg: LidarConfig) -> Scan:
     t0 = jnp.where(jnp.isfinite(t0), t0, 0.0)
     rel = rel - t0
 
-    # sort by relative time, padding (inf) to the tail; stable keeps sensor order
-    order = jnp.argsort(jnp.where(mask, rel, big), stable=True)
-    xyz_s = jnp.where(mask[order, None], xyz[order], 0.0).astype(jnp.float32)
-    rel_s = jnp.where(mask[order], rel[order], 0.0)
-    mask_s = mask[order]
+    # Sort by relative time, padding to the tail, ties by sensor order.
+    # Packed single-operand sort instead of argsort: the f32 bit pattern of a
+    # non-negative float is order-preserving, so (time_bits << idx_bits | idx)
+    # sorts by time with a stable tiebreak — and batched variadic sorts
+    # (argsort) lower catastrophically on TPU.
+    n = xyz.shape[0]
+    idx_bits = max(n - 1, 1).bit_length()
+    t_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(rel, 0.0).astype(jnp.float32), jnp.int32
+    ).astype(jnp.int64)
+    packed = (t_bits << idx_bits) | jnp.arange(n, dtype=jnp.int64)
+    packed = jnp.where(mask, packed, jnp.int64(0x7FFFFFFFFFFFFFFF))
+    s = jnp.sort(packed)
+    order = (s & ((1 << idx_bits) - 1)).astype(jnp.int32)
+    mask_s = s < jnp.int64(0x7FFFFFFFFFFFFFFF)
+    xyz_s = jnp.where(mask_s[:, None], xyz[order], 0.0).astype(jnp.float32)
+    rel_s = jnp.where(mask_s, rel[order], 0.0)
 
     t_span = jnp.max(jnp.where(mask_s, rel_s, 0.0))
     denom = jnp.where(t_span > 0, t_span, 1.0)
@@ -154,6 +166,40 @@ def segment_ids(scan: Scan, num_segments: int) -> jnp.ndarray:
     valid = jnp.maximum(jnp.sum(scan.mask.astype(jnp.int32)), 1)
     seg = jnp.clip((rank * num_segments) // valid, 0, num_segments - 1)
     return jnp.where(scan.mask, seg, num_segments - 1).astype(jnp.int32)
+
+
+def split_scan(scan: Scan, num_segments: int):
+    """Split a preprocessed scan into equal-count time segments
+    (reference split_clouds, frame.cpp:53-99: each segment is processed as an
+    independent frame with its own normalized timestamps).
+
+    Returns a list of `Scan`s sharing the padded shape, each masking only its
+    segment's points, with per-segment tau in [0, 1] and segment t_begin/t_end.
+    """
+    if num_segments <= 1:
+        return [scan]
+    seg = segment_ids(scan, num_segments)
+    out = []
+    for s in range(num_segments):
+        m = scan.mask & (seg == s)
+        any_valid = jnp.any(m)
+        big = jnp.asarray(jnp.inf, scan.rel_t.dtype)
+        t0 = jnp.min(jnp.where(m, scan.rel_t, big))
+        t0 = jnp.where(jnp.isfinite(t0), t0, 0.0)
+        rel = jnp.where(m, scan.rel_t - t0, 0.0)
+        span = jnp.max(jnp.where(m, rel, 0.0))
+        tau = (rel / jnp.where(span > 0, span, 1.0)).astype(jnp.float32)
+        out.append(
+            Scan(
+                xyz=scan.xyz,
+                tau=tau,
+                rel_t=rel,
+                mask=m,
+                t_begin=scan.t_begin + t0,
+                t_end=scan.t_begin + t0 + jnp.where(any_valid, span, 0.0),
+            )
+        )
+    return out
 
 
 def pack_raw_scan(

@@ -6,7 +6,9 @@ voxel_block.cpp) with an open-addressing table of static shape that lives in
 HBM and is updated functionally inside jit:
 
   keys   (C,)      int64  packed voxel coordinate, or EMPTY / DELETED sentinel
-  points (C*K, 3)  f32    per-voxel point slabs, flattened for scatter
+  points (C, K*3)  f32    per-voxel point slabs (flat rows: TPU tiling pads a
+                          minor dimension of 3 to 128 lanes — a 42x memory
+                          blowup on loop-carried/stored (...,3) tensors)
   npts   (C,)      int32  live point count per voxel
 
 Semantics mirrored from the reference:
@@ -56,7 +58,7 @@ _MASK21 = jnp.int64((1 << 21) - 1)
 
 class VoxelMap(NamedTuple):
     keys: jnp.ndarray  # (C,) int64
-    points: jnp.ndarray  # (C*K, 3) f32
+    points: jnp.ndarray  # (C, K*3) f32 — [x0,y0,z0, x1,y1,z1, ...]
     npts: jnp.ndarray  # (C,) int32
     tombstones: jnp.ndarray  # () int32 — rebuild hint
 
@@ -65,7 +67,7 @@ def create(cfg: MapConfig) -> VoxelMap:
     c, k = cfg.capacity, cfg.max_points_per_voxel
     return VoxelMap(
         keys=jnp.full((c,), EMPTY, dtype=jnp.int64),
-        points=jnp.zeros((c * k, 3), dtype=jnp.float32),
+        points=jnp.zeros((c, k * 3), dtype=jnp.float32),
         npts=jnp.zeros((c,), dtype=jnp.int32),
         tombstones=jnp.zeros((), dtype=jnp.int32),
     )
@@ -111,27 +113,55 @@ def _hash_key(key: jnp.ndarray, capacity: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def first_point_per_voxel(points, mask, voxel_size: float, out_capacity: int):
-    """Keep the first valid point of each voxel (reference voxel_downsample).
+_IDX_BITS = 18  # supports up to 262144 points per call
+_LOCAL_BITS = 15  # per-axis local voxel window: +-16383 voxels around anchor
 
-    `first` follows original array order within a voxel (stable sort), like the
-    reference's insertion-order `grid.contains` check. Output is ordered by
-    packed voxel key and padded to `out_capacity`.
+
+def _voxel_group_sort(vox, mask, n: int):
+    """Group points by voxel with ONE single-operand int64 sort.
+
+    Variadic sort (argsort) lowers catastrophically when batched on TPU
+    (measured 880x slower under vmap), so the sort key packs
+    (15-bit/axis anchor-relative voxel coords | original index): the sorted
+    values carry both the grouping and a stable within-group order. The
+    anchor is the first valid point's voxel — valid scans span far less than
+    the +-16383-voxel window; out-of-window points are dropped (masked).
+
+    Returns (order (N,) i32 — original index per sorted position,
+             group_key (N,) i64 sorted, valid_sorted (N,) bool).
+    """
+    idx = jnp.arange(n, dtype=jnp.int64)
+    anchor_i = jnp.argmax(mask)  # first valid point
+    local = (vox - vox[anchor_i][None, :]).astype(jnp.int64) + (1 << (_LOCAL_BITS - 1))
+    in_window = jnp.all((local >= 0) & (local < (1 << _LOCAL_BITS)), axis=-1)
+    valid = mask & in_window
+    key = (local[:, 0] << (2 * _LOCAL_BITS)) | (local[:, 1] << _LOCAL_BITS) | local[:, 2]
+    packed = (key << _IDX_BITS) | idx
+    packed = jnp.where(valid, packed, _SENTINEL)
+    s = jnp.sort(packed)
+    order = (s & ((1 << _IDX_BITS) - 1)).astype(jnp.int32)
+    group = s >> _IDX_BITS
+    return order, group, s < _SENTINEL
+
+
+def first_point_per_voxel(points, mask, voxel_size: float, out_capacity: int):
+    """Keep the first valid point of each voxel (reference voxel_downsample,
+    icp.cpp:9-30: lowest-index point wins, matching insertion-order
+    semantics). Output is ordered by local voxel key and padded.
 
     Returns (out_points (M,3) f32, out_mask (M,), n_unique ()).
     """
-    key = pack_key(voxel_of(points, voxel_size))
-    key = jnp.where(mask, key, _SENTINEL)
-    order = jnp.argsort(key, stable=True)
-    key_s = key[order]
-    pts_s = points[order]
-    valid_s = mask[order]
+    n = points.shape[0]
+    assert n <= (1 << _IDX_BITS), f"{n} points exceed the packed-sort budget"
+    vox = voxel_of(points, voxel_size)
+    order, group, valid_s = _voxel_group_sort(vox, mask, n)
 
-    prev = jnp.concatenate([jnp.full((1,), -9, key_s.dtype), key_s[:-1]])
-    first = valid_s & (key_s != prev)
+    prev = jnp.concatenate([jnp.full((1,), -9, group.dtype), group[:-1]])
+    first = valid_s & (group != prev)
     out_idx = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_unique = jnp.maximum(out_idx[-1] + 1, 0)
 
+    pts_s = points[order]
     tgt = jnp.where(first & (out_idx < out_capacity), out_idx, out_capacity)
     out = jnp.zeros((out_capacity, 3), dtype=points.dtype)
     out = out.at[tgt].set(pts_s, mode="drop")
@@ -277,9 +307,9 @@ def gather_candidates(m: VoxelMap, queries, qmask, cfg: MapConfig):
     cnt = jnp.where(present, m.npts[safe_slot], 0)  # (N*27,)
     # gather whole K-point block rows (K*3 floats each): one wide-row gather
     # instead of N*27*K tiny 12-byte gathers — TPU gather throughput scales
-    # with row width, not row count
-    rows = m.points.reshape(m.npts.shape[0], k * 3)  # view, no copy
-    cand = rows[safe_slot].reshape(n, 27 * k, 3)
+    # with row width, not row count. Candidates stay FLAT (N, 27*K*3): a
+    # trailing dimension of 3 would be lane-padded to 128 when loop-carried.
+    cand = m.points[safe_slot].reshape(n, 27 * k * 3)
     cand_valid = (
         jnp.arange(k, dtype=jnp.int32)[None, :] < cnt[:, None]
     ).reshape(n, 27 * k)
@@ -289,14 +319,21 @@ def gather_candidates(m: VoxelMap, queries, qmask, cfg: MapConfig):
 def nn_from_candidates(cand, cand_valid, queries, qmask):
     """Distance argmin over pre-fetched candidates (VPU-only, no gathers).
 
+    `cand` is flat (N, 27*K*3); strided lane slices expose x/y/z without ever
+    materializing a (..., 3)-minor tensor (lane-padding trap).
+
     Returns (nn_points (N,3) f32, nn_dist_sq (N,) f32, found (N,) bool).
     """
-    diff = cand - queries[:, None, :].astype(jnp.float32)
-    d2 = jnp.sum(diff * diff, axis=-1)
+    q = queries.astype(jnp.float32)
+    x, y, z = cand[:, 0::3], cand[:, 1::3], cand[:, 2::3]  # each (N, 27K)
+    d2 = (
+        (x - q[:, 0:1]) ** 2 + (y - q[:, 1:2]) ** 2 + (z - q[:, 2:3]) ** 2
+    )
     d2 = jnp.where(cand_valid, d2, jnp.inf)
     best = jnp.argmin(d2, axis=-1)
     nn_d2 = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0]
-    nn_pt = jnp.take_along_axis(cand, best[:, None, None], axis=1)[:, 0, :]
+    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]  # noqa: E731
+    nn_pt = jnp.stack([take(x), take(y), take(z)], axis=-1)
     found = qmask & jnp.isfinite(nn_d2)
     return nn_pt, jnp.where(found, nn_d2, jnp.inf), found
 
@@ -429,25 +466,27 @@ def insert(m: VoxelMap, points, mask, cfg: MapConfig) -> VoxelMap:
 
     Within a voxel, earlier array positions win the block's remaining
     capacity, matching the reference's sequential insert order
-    (voxel_hash_map.cpp:48-61).
+    (voxel_hash_map.cpp:48-61). Sort-free: duplicate keys converge to one
+    slot inside `_find_insert_slots` (losers re-probe and match the winner's
+    write), then K claim rounds hand out in-block positions in index order.
     """
     k = cfg.max_points_per_voxel
     capacity = cfg.capacity
     n = points.shape[0]
+    assert n <= (1 << _IDX_BITS), f"{n} points exceed the packed-sort budget"
 
-    key = pack_key(voxel_of(points, cfg.voxel_size))
-    key = jnp.where(mask, key, _SENTINEL)
-    order = jnp.argsort(key, stable=True)
-    key_s = key[order]
+    vox = voxel_of(points, cfg.voxel_size)
+    order, group, valid_s = _voxel_group_sort(vox, mask, n)
+    key_s = pack_key(vox[order])
     pts_s = points[order].astype(jnp.float32)
-    valid_s = mask[order]
 
     idxs = jnp.arange(n, dtype=jnp.int32)
-    prev = jnp.concatenate([jnp.full((1,), -9, key_s.dtype), key_s[:-1]])
-    first = valid_s & (key_s != prev)
+    prev = jnp.concatenate([jnp.full((1,), -9, group.dtype), group[:-1]])
+    first = valid_s & (group != prev)
     seg_start = jax.lax.cummax(jnp.where(first, idxs, jnp.int32(0)))
     rank = idxs - seg_start
 
+    # only segment heads probe/allocate: keys passed to the table are unique
     new_keys, slots_first, reused = _find_insert_slots(
         m.keys, key_s, first, cfg.max_probes
     )
@@ -457,8 +496,11 @@ def insert(m: VoxelMap, points, mask, cfg: MapConfig) -> VoxelMap:
     base = jnp.where(ok, m.npts[jnp.where(ok, slot, 0)], 0)
     pos = base + rank
     ok = ok & (pos < k)
-    flat = jnp.where(ok, slot * k + pos, capacity * k)  # OOB -> dropped
-    new_points = m.points.at[flat].set(pts_s, mode="drop")
+    flat = jnp.where(ok, slot * (k * 3) + pos * 3, capacity * k * 3)  # OOB drop
+    pts_view = m.points.reshape(-1)
+    for c in range(3):
+        pts_view = pts_view.at[flat + c].set(pts_s[:, c], mode="drop")
+    new_points = pts_view.reshape(capacity, k * 3)
     new_npts = m.npts.at[jnp.where(ok, slot, capacity)].max(pos + 1, mode="drop")
     return VoxelMap(new_keys, new_points, new_npts, m.tombstones - reused)
 
@@ -498,7 +540,7 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
             m.tombstones + jnp.sum(far_block, dtype=jnp.int32),
         )
 
-    pts = m.points.reshape(c, k, 3)
+    pts = m.points.reshape(c, k, 3)  # cold path: exact_boundary only
     live = jnp.arange(k, dtype=jnp.int32)[None, :] < m.npts[:, None]
     d2 = jnp.sum((pts - origin[None, None, :].astype(jnp.float32)) ** 2, axis=-1)
     drop = far_block[:, None] & live & (d2 > cfg.max_range**2)
@@ -514,7 +556,7 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
     new_keys = jnp.where(emptied, DELETED, m.keys)
     return VoxelMap(
         new_keys,
-        pts_c.reshape(c * k, 3),
+        pts_c.reshape(c, k * 3),
         jnp.where(occupied, new_npts, 0),
         m.tombstones + jnp.sum(emptied, dtype=jnp.int32),
     )
@@ -538,11 +580,10 @@ def export_points(m: VoxelMap, cfg: MapConfig):
     """Full map cloud (reference voxel_hash_map.cpp:173-198). Returns (C*K,3), mask."""
     k = cfg.max_points_per_voxel
     live = (
-        (jnp.arange(cfg.capacity * k, dtype=jnp.int32) % k)[None]
-        < jnp.repeat(m.npts, k)[None]
-    )[0]
+        jnp.arange(cfg.capacity * k, dtype=jnp.int32) % k
+    ) < jnp.repeat(m.npts, k)
     occ = jnp.repeat(m.keys >= 0, k)
-    return m.points, live & occ
+    return m.points.reshape(cfg.capacity * k, 3), live & occ
 
 
 def num_voxels(m: VoxelMap) -> jnp.ndarray:
@@ -558,13 +599,9 @@ def rebuild(m: VoxelMap, cfg: MapConfig) -> VoxelMap:
     occupied = m.keys >= 0
     fresh_keys = jnp.full_like(m.keys, EMPTY)
     new_keys, slots, _ = _find_insert_slots(fresh_keys, jnp.where(occupied, m.keys, 0), occupied, cfg.max_probes)
-    k = cfg.max_points_per_voxel
-    src_rows = jnp.arange(cfg.capacity, dtype=jnp.int32)
     ok = occupied & (slots >= 0)
     dst = jnp.where(ok, slots, cfg.capacity)
-    flat_dst = (dst[:, None] * k + jnp.arange(k, dtype=jnp.int32)[None, :]).reshape(-1)
-    flat_src = (src_rows[:, None] * k + jnp.arange(k, dtype=jnp.int32)[None, :]).reshape(-1)
-    pts = jnp.zeros_like(m.points).at[flat_dst].set(m.points[flat_src], mode="drop")
+    pts = jnp.zeros_like(m.points).at[dst].set(m.points, mode="drop")
     npts = jnp.zeros_like(m.npts).at[dst].set(jnp.where(ok, m.npts, 0), mode="drop")
     return VoxelMap(new_keys, pts, npts, jnp.zeros((), jnp.int32))
 

@@ -54,7 +54,7 @@ class TestInsert:
         m = vm.create(cfg)
         pts = [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [0.3, 0.3, 0.3]]
         m = _insert(m, pts, cfg)
-        stored = np.asarray(m.points.reshape(cfg.capacity, 2, 3))
+        stored = np.asarray(m.points).reshape(cfg.capacity, 2, 3)
         slot = int(jnp.argmax(m.npts))
         np.testing.assert_allclose(
             sorted(stored[slot].tolist()), [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2]], atol=1e-6
