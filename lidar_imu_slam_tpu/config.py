@@ -19,7 +19,6 @@ replaces the reference's dynamic containers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 GRAVITY = 9.81  # reference include/common.hpp:16
 

@@ -39,7 +39,6 @@ under jit/vmap/shard_map.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import PipelineConfig
-from ..models import kiss_icp
 from ..ops.preprocess import Scan
 from . import streams
 

@@ -9,7 +9,6 @@ XLA program on one chip, and shards across chips via `parallel.mesh`.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
