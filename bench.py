@@ -52,7 +52,7 @@ def main():
     from lidar_imu_slam_tpu import parallel
     from lidar_imu_slam_tpu.models import kiss_icp
 
-    n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     n_streams = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     points_per_scan = 131072  # HDL-64E scale
 

@@ -69,6 +69,17 @@ class OdometryRunner:
         )
         return self._pre(raw)
 
+    def _segments(self, scan, scan_index: int):
+        """Frame splitting (reference split_clouds + MIN_SCAN_COUNT warmup
+        gate, frame.cpp:5,64): one segment for the first `min_scan_count`
+        scans, then `frame_split_num` independent sub-frames."""
+        from ..ops.preprocess import split_scan
+
+        n = self.cfg.lidar.frame_split_num
+        if n <= 1 or scan_index < self.cfg.min_scan_count:
+            return [scan]
+        return split_scan(scan, n)
+
     def run(self, scan_msgs: Iterable[dict], progress: Optional[Callable] = None):
         """Double-buffered loop: prefetch scan k+1 while scan k computes."""
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
@@ -85,8 +96,12 @@ class OdometryRunner:
             except StopIteration:
                 nxt = None
             t0 = time.perf_counter()
-            self.state, out = kiss_icp.register_frame_jit(self.state, scan, self.cfg)
-            out.pose.block_until_ready()
+            for seg in self._segments(scan, i):
+                self.state, out = kiss_icp.register_frame_jit(
+                    self.state, seg, self.cfg
+                )
+            np.asarray(out.pose)  # host sync (block_until_ready is unreliable
+            # through the axon tunnel)
             dt = time.perf_counter() - t0
             if i > 0:
                 self.timer.record(dt)
