@@ -68,6 +68,17 @@ class IcpConfig:
     max_iterations: int = 500
     initial_threshold: float = 2.0
     estimation_threshold: float = 1e-4
+    # robustness guards (not in the reference, which solves LDLT on
+    # possibly-singular normal equations and can teleport — SURVEY §5
+    # failure detection): skip the update below this correspondence count,
+    # and clamp a single GN step's twist norm
+    min_correspondences: int = 20
+    max_step_norm: float = 2.0
+    # scan-level divergence gate: reject a registration whose deviation from
+    # the motion-model guess exceeds this translation (m); the pose falls
+    # back to the prediction (constant-velocity coast). The reference's only
+    # analog is the too-few-points skip (odom_run.cpp:79-84).
+    max_model_deviation: float = 10.0
     # static-shape budgets for the two downsample stages
     # (map insert @0.5*voxel, ICP source @1.5*voxel; reference icp.cpp:126-135)
     max_map_points: int = 32768  # downsample fed to the map
@@ -145,6 +156,9 @@ def kitti_64beam() -> PipelineConfig:
     """Config for KITTI HDL-64E sequences (BASELINE.json config 2)."""
     return PipelineConfig(
         lidar=LidarConfig(num_scan_lines=64, max_points=131072, min_range=2.5),
+        # HDL-64E urban maps hold 60-100k live voxels at 1 m; keep the hash
+        # load factor under ~0.4 for the wide-window probe
+        map=MapConfig(capacity=1 << 18),
         icp=IcpConfig(deskew=True),
     )
 

@@ -80,6 +80,19 @@ class OdometryRunner:
             return [scan]
         return split_scan(scan, n)
 
+    def _maybe_rebuild(self, scan_index: int) -> None:
+        """Compact the hash table when eviction tombstones accumulate
+        (long sequences: tombstones lengthen probe chains)."""
+        if scan_index % 64 != 0 or scan_index == 0:
+            return
+        from ..ops import voxel_map
+
+        tombs = int(self.state.map.tombstones)
+        if tombs > self.cfg.map.capacity // 8:
+            self.state = self.state._replace(
+                map=voxel_map.rebuild(self.state.map, self.cfg.map)
+            )
+
     def run(self, scan_msgs: Iterable[dict], progress: Optional[Callable] = None):
         """Double-buffered loop: prefetch scan k+1 while scan k computes."""
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
@@ -124,6 +137,7 @@ class OdometryRunner:
                 checkpoint_save(self.checkpoint_dir, self.state, i + 1)
             if progress:
                 progress(i, out)
+            self._maybe_rebuild(i)
             i += 1
         pool.shutdown()
         return self
@@ -169,7 +183,7 @@ class LioRunner(OdometryRunner):
             )
             t0 = time.perf_counter()
             self.state, out = lio.step_jit(self.state, scan, packet, self.cfg)
-            out.pose.block_until_ready()
+            np.asarray(out.pose)  # host sync
             dt = time.perf_counter() - t0
             if i > 0:
                 self.timer.record(dt)

@@ -141,11 +141,17 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
         cfg.map,
         cfg.icp.max_iterations,
         cfg.icp.estimation_threshold,
+        cfg.icp.min_correspondences,
+        cfg.icp.max_step_norm,
     )
-    new_pose = result.pose
+    # scan-level divergence gate: a wild registration would poison the map
+    # and compound through the constant-velocity prediction
+    model_dev = lie.transform_inverse(init_guess) @ result.pose
+    diverged = jnp.linalg.norm(model_dev[:3, 3]) > cfg.icp.max_model_deviation
+    new_pose = lie.orthonormalize(jnp.where(diverged, init_guess, result.pose))
+    model_dev = jnp.where(diverged, jnp.eye(4, dtype=jnp.float64), model_dev)
 
     # 6. model deviation for the next frame's threshold (icp.cpp:78-79)
-    model_dev = lie.transform_inverse(init_guess) @ new_pose
     thr_state = icp_ops.update_model_deviation(thr_state, model_dev)
 
     # 7. map update with the dense downsample (icp.cpp:81)

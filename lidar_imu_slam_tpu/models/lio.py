@@ -93,6 +93,11 @@ def _registration(state: LioState, source, source_mask, init_guess, cfg: Pipelin
         cfg.icp.max_iterations, cfg.icp.estimation_threshold,
     )
     model_dev = lie.transform_inverse(init_guess) @ result.pose
+    diverged = jnp.linalg.norm(model_dev[:3, 3]) > cfg.icp.max_model_deviation
+    result = result._replace(
+        pose=lie.orthonormalize(jnp.where(diverged, init_guess, result.pose))
+    )
+    model_dev = jnp.where(diverged, jnp.eye(4, dtype=jnp.float64), model_dev)
     thr_state = icp_ops.update_model_deviation(thr_state, model_dev)
     return result, sigma, thr_state
 

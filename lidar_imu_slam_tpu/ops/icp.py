@@ -62,6 +62,7 @@ def align_clouds(src, tgt, corr_mask, kernel_th):
     L = jnp.linalg.cholesky(JtWJ + ridge * jnp.eye(6, dtype=jnp.float64))
     x = jax.scipy.linalg.cho_solve((L, True), -JtWr)
     x = jnp.where(sw > 0, x, jnp.zeros_like(x))
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
     return lie.se3_exp(x)
 
 
@@ -82,6 +83,8 @@ def icp_registration(
     map_cfg: MapConfig,
     max_iterations: int,
     estimation_threshold: float,
+    min_correspondences: int = 20,
+    max_step_norm: float = 2.0,
 ) -> IcpResult:
     """The ICP loop (reference registration.cpp:94-130).
 
@@ -106,6 +109,8 @@ def icp_registration(
     # identical results while corrections stay within the 3x3x3 shell.
     refetch_d2 = (0.5 * map_cfg.voxel_size) ** 2
     max_refetch = 6
+    min_corr = min_correspondences
+    map_cfg_max_step = max_step_norm
 
     def fetch(T):
         world = lie.transform_points(T, pts64).astype(jnp.float32)
@@ -128,12 +133,26 @@ def icp_registration(
             corr = found & (d2 < max_d2)
             estimate = align_clouds(world, nn, corr, kernel_th)
             n_corr = jnp.sum(corr, dtype=jnp.int32)
+            # degraded-mode guards (no reference equivalent — its LDLT on a
+            # near-singular system teleports the pose): freeze on starved
+            # correspondences, clamp runaway steps
+            xi = lie.se3_log(estimate)
+            step = jnp.linalg.norm(xi)
+            scale = jnp.where(
+                step > map_cfg_max_step, map_cfg_max_step / step, 1.0
+            )
+            ok = n_corr >= min_corr
+            estimate = jnp.where(
+                ok,
+                jnp.where(scale < 1.0, lie.se3_exp(xi * scale), estimate),
+                jnp.eye(4, dtype=jnp.float64),
+            )
             rms = jnp.sqrt(
                 jnp.sum(jnp.where(corr, d2, 0.0)) / jnp.maximum(n_corr, 1)
             ).astype(jnp.float64)
             T_new = estimate @ T_icp
-            converged = (
-                jnp.linalg.norm(lie.se3_log(estimate)) < estimation_threshold
+            converged = (~ok) | (
+                jnp.minimum(step, map_cfg_max_step) < estimation_threshold
             )
             drift = jnp.sum(((T_new @ init_guess)[:3, 3] - anchor_t) ** 2)
             stale = ~converged & (drift > refetch_d2)

@@ -141,6 +141,21 @@ def make_transform(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return T
 
 
+def orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
+    """Project the rotation block back onto SO(3) (quaternion round-trip).
+
+    Matrix-form pose composition accumulates a ~1e-15 non-orthonormality
+    defect per step; the constant-velocity prediction feedback
+    (guess = P_n (P_{n-1}^-1 P_n)) roughly DOUBLES that defect every scan,
+    so it reaches O(1) within ~50 scans and destroys the trajectory. Sophus
+    (the reference) stores unit quaternions and renormalizes implicitly
+    (SE3 composition) — this is the explicit equivalent, applied once per
+    registered scan.
+    """
+    R = quat_to_rot(rot_to_quat(T[..., :3, :3]))
+    return make_transform(R, T[..., :3, 3])
+
+
 def transform_inverse(T: jnp.ndarray) -> jnp.ndarray:
     R, t = T[..., :3, :3], T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
