@@ -60,7 +60,7 @@ def _kitti_scans(args):
         import itertools
 
         msgs = itertools.islice(msgs, args.max_scans)
-    return msgs, (seq.gt_poses if args.poses else None)
+    return msgs, (seq.gt_poses if args.poses else None), seq.calib
 
 
 def _bag_scans(args):
@@ -124,8 +124,9 @@ def main(argv=None) -> int:
 
     gt = None
     imu = None
+    calib = {}
     if args.kitti:
-        scans, gt = _kitti_scans(args)
+        scans, gt, calib = _kitti_scans(args)
     elif args.bag:
         scans, imu = _bag_scans(args)
     else:
@@ -165,8 +166,17 @@ def main(argv=None) -> int:
         from .utils import trajectory as traj
 
         n = min(len(runner.poses), len(gt))
-        summary["ate_rmse_m"] = round(runner.ate_against(gt[:n]), 4)
-        t_err, r_err = traj.rpe_rmse(np.stack(runner.poses)[:n], gt[:n])
+        est = np.stack(runner.poses)[:n]
+        if args.kitti and "Tr" in calib:
+            # KITTI GT is camera-frame; conjugate velodyne-frame estimates
+            # with the Tr calibration before ATE/RPE
+            from .host import kitti as kitti_mod
+
+            est = kitti_mod.velo_to_cam_poses(est, calib)
+        summary["ate_rmse_m"] = round(
+            traj.ate_rmse(est, np.asarray(gt)[:n], align=True), 4
+        )
+        t_err, r_err = traj.rpe_rmse(est, gt[:n])
         summary["rpe_trans_m"] = round(t_err, 4)
         summary["rpe_rot_deg"] = round(r_err, 4)
     print(json.dumps(summary))

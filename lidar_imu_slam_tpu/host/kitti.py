@@ -57,6 +57,24 @@ def read_calib(seq_dir: str) -> dict:
     return calib
 
 
+def velo_to_cam_poses(poses: np.ndarray, calib: dict) -> np.ndarray:
+    """Conjugate velodyne-frame trajectory poses into the camera frame:
+    T_cam(t) = Tr @ T_velo(t) @ Tr^-1, with Tr the velo-to-cam calibration.
+
+    KITTI ground-truth poses are camera-frame; the per-frame conjugation is
+    NOT a single rigid transform, so Umeyama alignment cannot absorb it —
+    estimates must be converted before ATE/RPE (standard KITTI evaluation
+    practice).
+    """
+    poses = np.asarray(poses)
+    if "Tr" not in calib or calib["Tr"].size < 12:
+        return poses
+    Tr = np.eye(4)
+    Tr[:3, :4] = calib["Tr"][:12].reshape(3, 4)
+    Tr_inv = np.linalg.inv(Tr)
+    return np.einsum("ij,njk,kl->nil", Tr, poses, Tr_inv)
+
+
 class KittiSequence:
     """Iterator over a KITTI odometry sequence directory:
     <seq_dir>/velodyne/*.bin [+ times.txt, calib.txt]."""

@@ -35,18 +35,41 @@ class _PackParams(ctypes.Structure):
     ]
 
 
+def _src_hash() -> str:
+    import hashlib
+
+    with open(os.path.abspath(_SRC), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> Optional[str]:
+    # no -march=native: the library must stay loadable on any host CPU
     os.makedirs(_BUILD_DIR, exist_ok=True)
     src = os.path.abspath(_SRC)
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", _LIB_PATH],
+            ["g++", "-O3", "-shared", "-fPIC", src, "-o", _LIB_PATH],
             check=True,
             capture_output=True,
         )
+        with open(_LIB_PATH + ".srchash", "w") as f:
+            f.write(_src_hash())
         return _LIB_PATH
     except (subprocess.CalledProcessError, FileNotFoundError):
         return None
+
+
+def _prebuilt_current() -> bool:
+    """A prebuilt library is only trusted if its source-hash sidecar matches
+    the current scan_packer.cpp — otherwise an edit would silently keep
+    executing a stale binary."""
+    if not os.path.exists(_LIB_PATH):
+        return False
+    try:
+        with open(_LIB_PATH + ".srchash") as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
+        return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -55,7 +78,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+        path = _LIB_PATH if _prebuilt_current() else _build()
         if path is None:
             return None
         lib = ctypes.CDLL(path)

@@ -91,6 +91,7 @@ def _registration(state: LioState, source, source_mask, init_guess, cfg: Pipelin
         state.odo.map, source, source_mask, init_guess,
         3.0 * sigma, sigma / 3.0, cfg.map,
         cfg.icp.max_iterations, cfg.icp.estimation_threshold,
+        cfg.icp.min_correspondences, cfg.icp.max_step_norm,
     )
     model_dev = lie.transform_inverse(init_guess) @ result.pose
     diverged = jnp.linalg.norm(model_dev[:3, 3]) > cfg.icp.max_model_deviation

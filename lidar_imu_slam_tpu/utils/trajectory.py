@@ -72,7 +72,7 @@ def umeyama_alignment(src: np.ndarray, dst: np.ndarray, with_scale: bool = False
     R = U @ S @ Vt
     c = 1.0
     if with_scale:
-        c = np.trace(np.diag(D) @ S) / (xs**2).sum(0).mean()
+        c = np.trace(np.diag(D) @ S) / (xs**2).sum(axis=1).mean()
     t = mu_d - c * R @ mu_s
     return R, t, c
 
