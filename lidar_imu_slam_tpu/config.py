@@ -56,7 +56,12 @@ class MapConfig:
     max_points_per_voxel: int = 10
     max_range: float = 100.0
     capacity: int = 1 << 17  # buckets; ~1.3M points at 10/voxel
-    max_probes: int = 32  # linear-probe bound for insert/query
+    max_probes: int = 32  # legacy (v1 scalar-probe bound); v2 uses a fixed
+    # 16-slot bounded window — field kept for config compatibility
+    # NN candidate neighborhood: 27 = full 3x3x3 shell (reference-faithful
+    # superset), 8 = the 2x2x2 block covering +-half a voxel (fast mode,
+    # ~3x fewer candidate gathers; documented deviation)
+    neighborhood: int = 27
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,9 +40,9 @@ class KissState(NamedTuple):
 
 class FrameOutput(NamedTuple):
     pose: jnp.ndarray  # (4,4) f64 world pose of this scan
-    keypoints: jnp.ndarray  # (S,3) f32 ICP source (sensor frame)
+    keypoints: jnp.ndarray  # (S,3) f32 ICP source (world frame @ guess)
     keypoints_mask: jnp.ndarray  # (S,)
-    deskewed: jnp.ndarray  # (M,3) f32 map-insert downsample (sensor frame)
+    deskewed: jnp.ndarray  # (M,3) f32 map-insert downsample (world frame)
     deskewed_mask: jnp.ndarray  # (M,)
     icp_iterations: jnp.ndarray  # () i32
     num_correspondences: jnp.ndarray  # () i32
@@ -96,14 +96,29 @@ def voxelize(points, mask, cfg: PipelineConfig):
 
 
 def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
-    """One odometry step (reference icp.cpp:49-86). Returns (state', FrameOutput)."""
+    """One odometry step (reference icp.cpp:49-86). Returns (state', FrameOutput).
+
+    TPU-first restructure of the reference flow (each deviation documented):
+      * the scan is transformed to WORLD frame at the motion-model guess
+        BEFORE downsampling, so one fused sort yields both the 0.5*voxel
+        map downsample AND its grouping by map voxel — the map insert then
+        needs no second sort. (The reference downsamples in sensor frame,
+        icp.cpp:126-135; grid alignment differs by the guess pose — same
+        density, documented in PARITY.md.)
+      * ICP runs on the world-frame source with an identity initial
+        transform: T_final = T_icp @ init_guess, algebraically identical to
+        the reference's sensor-frame loop.
+      * map insert applies only the ICP correction delta to the already
+        world-frame downsample (the reference re-transforms from sensor
+        frame, voxel_hash_map.cpp:132-144 — same points up to f32 rounding).
+    """
     # 1. constant-velocity deskew, gated on config (static — lax.cond would
     #    run the per-point exp map under vmap even when disabled) and on
     #    >= 3 poses (reference icp.cpp:36-47)
     if cfg.icp.deskew:
         deskewed_xyz = jax.lax.cond(
             state.num_poses > 2,
-            lambda: deskew_ops.constant_velocity_deskew(
+            lambda: deskew_ops.constant_velocity_deskew_fast(
                 scan.xyz, scan.tau, state.pose_prev, state.pose
             ),
             lambda: scan.xyz,
@@ -111,10 +126,30 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
     else:
         deskewed_xyz = scan.xyz
 
-    # 2. double voxel downsample + IQR source cleanup
-    source, source_mask, map_pts, map_mask = voxelize(deskewed_xyz, scan.mask, cfg)
+    # 2. constant-velocity prediction as initial guess
+    last_pose = jnp.where(
+        state.num_poses == 0, jnp.eye(4, dtype=jnp.float64), state.pose
+    )
+    init_guess = last_pose @ get_prediction_model(state)
 
-    # 3. adaptive sigma (accumulates previous frame's model deviation)
+    # 3. world transform (f32: ulp < 1mm out to 8km) + fused grouped
+    #    downsample (map insert @ 0.5*vox; reference icp.cpp:126-135)
+    Rg = init_guess[:3, :3].astype(jnp.float32)
+    tg = init_guess[:3, 3].astype(jnp.float32)
+    world = deskewed_xyz @ Rg.T + tg
+    g = voxel_map.fused_downsample(
+        world, scan.mask, cfg.map.voxel_size, cfg.icp.max_map_points
+    )
+
+    # 4. ICP source: second downsample @ 1.5*vox + IQR range-outlier mask
+    #    (reference icp.cpp:88-135; ranges measured from the sensor origin)
+    source, source_mask, _ = voxel_map.first_point_per_voxel(
+        g.points, g.mask, 1.5 * cfg.map.voxel_size, cfg.icp.max_source_points
+    )
+    d_sq = jnp.sum((source - tg[None, :]) ** 2, axis=-1)
+    source_mask = stats.iqr_inlier_mask(d_sq.astype(jnp.float64), source_mask)
+
+    # 5. adaptive sigma (accumulates previous frame's model deviation)
     moved = has_moved(state, cfg.icp.min_motion_th)
     thr_state, sigma = icp_ops.compute_threshold(
         state.threshold,
@@ -124,18 +159,13 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
         cfg.map.max_range,
     )
 
-    # 4. constant-velocity prediction as initial guess
-    last_pose = jnp.where(
-        state.num_poses == 0, jnp.eye(4, dtype=jnp.float64), state.pose
-    )
-    init_guess = last_pose @ get_prediction_model(state)
-
-    # 5. robust GN-ICP (max_corr = 3 sigma, kernel = sigma/3; icp.cpp:74-76)
+    # 6. robust GN-ICP (max_corr = 3 sigma, kernel = sigma/3; icp.cpp:74-76)
+    #    on world-frame source from identity
     result = icp_ops.icp_registration(
         state.map,
         source,
         source_mask,
-        init_guess,
+        jnp.eye(4, dtype=jnp.float64),
         3.0 * sigma,
         sigma / 3.0,
         cfg.map,
@@ -144,20 +174,27 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
         cfg.icp.min_correspondences,
         cfg.icp.max_step_norm,
     )
+    pose_icp = result.pose @ init_guess
     # scan-level divergence gate: a wild registration would poison the map
     # and compound through the constant-velocity prediction
-    model_dev = lie.transform_inverse(init_guess) @ result.pose
+    model_dev = lie.transform_inverse(init_guess) @ pose_icp
     diverged = jnp.linalg.norm(model_dev[:3, 3]) > cfg.icp.max_model_deviation
-    new_pose = lie.orthonormalize(jnp.where(diverged, init_guess, result.pose))
+    new_pose = lie.orthonormalize(jnp.where(diverged, init_guess, pose_icp))
     model_dev = jnp.where(diverged, jnp.eye(4, dtype=jnp.float64), model_dev)
 
-    # 6. model deviation for the next frame's threshold (icp.cpp:78-79)
+    # 7. model deviation for the next frame's threshold (icp.cpp:78-79)
     thr_state = icp_ops.update_model_deviation(thr_state, model_dev)
 
-    # 7. map update with the dense downsample (icp.cpp:81)
-    new_map = voxel_map.update(state.map, map_pts, map_mask, new_pose, cfg.map)
+    # 8. map update with the grouped downsample, correcting world points by
+    #    the ICP delta only (icp.cpp:81); no re-sort needed
+    delta = new_pose @ lie.transform_inverse(init_guess)
+    Rd = delta[:3, :3].astype(jnp.float32)
+    td = delta[:3, 3].astype(jnp.float32)
+    g_corr = g._replace(points=g.points @ Rd.T + td)
+    new_map = voxel_map.insert_grouped(state.map, g_corr, cfg.map)
+    new_map = voxel_map.evict_far(new_map, new_pose[:3, 3], cfg.map)
 
-    # 8. pose bookkeeping (icp.cpp:82)
+    # 9. pose bookkeeping (icp.cpp:82)
     new_state = KissState(
         map=new_map,
         pose=new_pose,
@@ -170,8 +207,8 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
         pose=new_pose,
         keypoints=source,
         keypoints_mask=source_mask,
-        deskewed=map_pts,
-        deskewed_mask=map_mask,
+        deskewed=g_corr.points,
+        deskewed_mask=g.mask,
         icp_iterations=result.iterations,
         num_correspondences=result.num_correspondences,
         residual_rms=result.residual_rms,

@@ -39,6 +39,9 @@ def align_clouds(src, tgt, corr_mask, kernel_th):
     """
     s = src.astype(jnp.float64)
     r = s - tgt.astype(jnp.float64)
+    # zero masked residuals BEFORE weighting: a non-finite target (absent
+    # correspondence) times a zero weight would still poison the sums
+    r = jnp.where(corr_mask[:, None], r, 0.0)
     res_sq = jnp.sum(r * r, axis=-1)
     w = jnp.where(corr_mask, robust_weight(res_sq, kernel_th), 0.0)
 

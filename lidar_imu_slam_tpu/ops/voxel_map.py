@@ -1,40 +1,54 @@
-"""Fixed-capacity voxel-hash local map in device memory.
+"""Fixed-capacity voxel-hash local map in device memory (v2, int32 keys).
 
 Replaces the reference's tsl::robin_map<Voxel, VoxelBlock> + TBB + shared
 mutexes (reference src/sensors/lidar/helpers/voxel_hash_map.cpp,
 voxel_block.cpp) with an open-addressing table of static shape that lives in
 HBM and is updated functionally inside jit:
 
-  keys   (C,)      int64  packed voxel coordinate, or EMPTY / DELETED sentinel
+  keys   (C,)      int32  wrapped packed voxel coordinate, or EMPTY/DELETED
   points (C, K*3)  f32    per-voxel point slabs (flat rows: TPU tiling pads a
                           minor dimension of 3 to 128 lanes — a 42x memory
-                          blowup on loop-carried/stored (...,3) tensors)
-  npts   (C,)      int32  live point count per voxel
+                          blowup on stored (...,3) tensors). Unused lanes hold
+                          +inf so distance reductions self-mask without a
+                          per-candidate count gather.
+  npts   (C,)      int32  live point count per voxel (insert append cursor)
+
+v2 design notes (all perf-measured on a live v5e):
+  * int64 keys and u64 hash/fingerprint math were the round-1 bottleneck —
+    64-bit multiplies are emulated on TPU. Keys are now int32: the map is
+    LOCAL (evicted beyond max_range, reference voxel_hash_map.cpp:146-171),
+    so coordinates wrap to _KEY_BITS=10 bits/axis; two live voxels can only
+    alias if the live span exceeds 1024 voxels per axis, which `create`
+    rejects (needs voxel_size > max_range/255).
+  * Bounded-window probing: every key must live within _W=16 slots of its
+    hash bucket. Lookup is ONE (N, 16)-row gather compared against the query
+    key — no fingerprints, no scalar fallback loop (the round-1 fallback
+    gathered all N lanes per probe round and dominated insert cost). Keys
+    that cannot be placed within the window are dropped and counted
+    (`drops`); with eviction hygiene and load <= 0.5 drops stay at zero.
+  * Claimed slots only ever FILL windows, never free them mid-pass, so the
+    "present => within window" invariant survives concurrent claims.
 
 Semantics mirrored from the reference:
-  * spatial hash (x*73856093 ^ y*19349663 ^ z*83492791) & (C-1)
-    (reference include/limu/utils/types.hpp:43-50, generalized table size)
   * voxel index = truncation toward zero, NOT floor
     (reference calculation_helpers.cpp:142-147 static_cast<int>)
   * bounded voxel blocks: append only while count < K
     (reference voxel_block.cpp:68-73, default K=10)
   * first-point-per-voxel downsampling (reference icp.cpp:9-30)
   * eviction of voxels whose index distance to the origin voxel exceeds
-    max_distance, then per-point metric removal inside evicted-range blocks
-    (reference voxel_hash_map.cpp:146-171)
+    max_range (reference voxel_hash_map.cpp:146-171)
 
 Deviations (documented, intentional):
-  * Nearest-neighbor queries search the full 3x3x3 neighborhood and return
-    the true closest stored point. The reference checks only the query's own
-    voxel, and its fallback (voxel_hash_map.cpp:81-101) uses a max-heap
-    `priority_queue.top()`, i.e. picks the FARTHEST candidate voxel — a bug
-    we do not copy. It also returns Vec3d::Zero() when nothing is found
-    (:98-99); we return an explicit validity mask.
-  * Deleted slots use a tombstone so probe chains stay intact; `rebuild`
-    compacts the table when tombstones accumulate.
-
-All operations are static-shape and differentiable-free (integer) — safe
-under jit/vmap/shard_map.
+  * Nearest-neighbor queries search a full neighborhood (27 or 8 voxels,
+    cfg.neighborhood) and return the true closest stored point. The
+    reference checks only the query's own voxel, and its fallback
+    (voxel_hash_map.cpp:81-101) uses a max-heap `priority_queue.top()`,
+    i.e. picks the FARTHEST candidate voxel — a bug we do not copy. It also
+    returns Vec3d::Zero() when nothing is found (:98-99); we return an
+    explicit validity mask.
+  * Deleted slots use a tombstone so windows stay intact; `rebuild` compacts
+    the table when tombstones accumulate.
+  * Probing is bounded by the 16-slot window (see above).
 """
 
 from __future__ import annotations
@@ -46,29 +60,39 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 
-EMPTY = jnp.int64(-1)
-DELETED = jnp.int64(-2)
-# sort sentinel for invalid entries: packed keys reach just below 2^63
-# (x >= 0 packs to >= 2^62), so the sentinel must be int64 max
+EMPTY = jnp.int32(-1)
+DELETED = jnp.int32(-2)
+_W = 16  # probe window (slots per hash bucket neighborhood)
+_KEY_BITS = 10  # wrapped bits per axis -> 30-bit packed key
+_KEY_MASK = (1 << _KEY_BITS) - 1
+# sort sentinel for invalid entries: packed i64 sort keys in
+# _voxel_group_sort reach just below 2^63, so the sentinel is int64 max
 _SENTINEL = jnp.int64((1 << 63) - 1)
-_OFF = jnp.int64(1 << 20)
-_MASK21 = jnp.int64((1 << 21) - 1)
+_IDX_BITS = 18  # supports up to 262144 points per sorted call
 
 
 class VoxelMap(NamedTuple):
-    keys: jnp.ndarray  # (C,) int64
-    points: jnp.ndarray  # (C, K*3) f32 — [x0,y0,z0, x1,y1,z1, ...]
+    keys: jnp.ndarray  # (C,) int32
+    points: jnp.ndarray  # (C, K*3) f32 — [x0,y0,z0, x1,y1,z1, ...], +inf pad
     npts: jnp.ndarray  # (C,) int32
     tombstones: jnp.ndarray  # () int32 — rebuild hint
+    drops: jnp.ndarray  # () int32 — keys dropped by the bounded window
 
 
 def create(cfg: MapConfig) -> VoxelMap:
     c, k = cfg.capacity, cfg.max_points_per_voxel
+    if cfg.voxel_size * (_KEY_MASK // 2 - 2) < 2.0 * cfg.max_range:
+        raise ValueError(
+            f"voxel_size {cfg.voxel_size} too small for max_range "
+            f"{cfg.max_range}: wrapped {_KEY_BITS}-bit keys alias when the "
+            f"live span exceeds {_KEY_MASK + 1} voxels per axis"
+        )
     return VoxelMap(
-        keys=jnp.full((c,), EMPTY, dtype=jnp.int64),
-        points=jnp.zeros((c, k * 3), dtype=jnp.float32),
+        keys=jnp.full((c,), EMPTY, dtype=jnp.int32),
+        points=jnp.full((c, k * 3), jnp.inf, dtype=jnp.float32),
         npts=jnp.zeros((c,), dtype=jnp.int32),
         tombstones=jnp.zeros((), dtype=jnp.int32),
+        drops=jnp.zeros((), dtype=jnp.int32),
     )
 
 
@@ -78,42 +102,67 @@ def voxel_of(points: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
 
 
 def pack_key(vox: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3) int32 voxel -> non-negative int64 key."""
-    v = vox.astype(jnp.int64) + _OFF
-    v = jnp.clip(v, 0, _MASK21)
-    return (v[..., 0] << 42) | (v[..., 1] << 21) | v[..., 2]
+    """(..., 3) int32 voxel -> wrapped non-negative int32 key in [0, 2^30)."""
+    x = vox[..., 0] & _KEY_MASK
+    y = vox[..., 1] & _KEY_MASK
+    z = vox[..., 2] & _KEY_MASK
+    return (x << (2 * _KEY_BITS)) | (y << _KEY_BITS) | z
 
 
-def unpack_key(key: jnp.ndarray) -> jnp.ndarray:
-    x = ((key >> 42) & _MASK21) - _OFF
-    y = ((key >> 21) & _MASK21) - _OFF
-    z = (key & _MASK21) - _OFF
-    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+def unpack_key_rel(key: jnp.ndarray, origin_vox: jnp.ndarray) -> jnp.ndarray:
+    """Wrapped signed voxel offset of `key` from `origin_vox` (..., 3).
+
+    Valid while the live span is under 2^_KEY_BITS voxels per axis (the
+    `create` constraint)."""
+    half = 1 << (_KEY_BITS - 1)
+    out = []
+    for axis, shift in ((0, 2 * _KEY_BITS), (1, _KEY_BITS), (2, 0)):
+        v = (key >> shift) & _KEY_MASK
+        d = (v - (origin_vox[..., axis] & _KEY_MASK)) & _KEY_MASK
+        out.append(jnp.where(d >= half, d - (_KEY_MASK + 1), d))
+    return jnp.stack(out, axis=-1).astype(jnp.int32)
 
 
-def _hash_key(key: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """splitmix64 finalizer on the packed key, masked to table size.
+def _hash32(key: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """murmur3 finalizer, masked to table size (i32 throughout — u64
+    multiplies are emulated and were the round-1 hot spot)."""
+    k = key.astype(jnp.uint32)
+    k = (k ^ (k >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
+    k = (k ^ (k >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+    k = k ^ (k >> jnp.uint32(16))
+    return (k & jnp.uint32(capacity - 1)).astype(jnp.int32)
 
-    Deviation from the reference's 3-prime XOR hash (types.hpp:43-50): that
-    hash clusters under power-of-two masking (measured max probe chain 8 at
-    load 0.2 vs 6 for splitmix) and every extra probe round is a full-width
-    gather; the hash function is not behaviorally observable, only probe
-    counts change.
-    """
-    k = key.astype(jnp.uint64)
-    k = (k ^ (k >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
-    k = (k ^ (k >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
-    k = k ^ (k >> jnp.uint64(31))
-    return (k & jnp.uint64(capacity - 1)).astype(jnp.int32)
+
+def _keys_wide(table_keys: jnp.ndarray) -> jnp.ndarray:
+    """(C, W) window: row s holds the keys of slots s..s+W-1 (wrapped).
+
+    One (N, W)-row gather then resolves a whole probe window per query."""
+    return jnp.stack([jnp.roll(table_keys, -j) for j in range(_W)], axis=1)
+
+
+def _window_rows(kw: jnp.ndarray, qkeys: jnp.ndarray, capacity: int):
+    h0 = _hash32(qkeys, capacity)
+    return h0, kw[h0]  # (N,), (N, W)
+
+
+def _lookup(table_keys: jnp.ndarray, qkeys: jnp.ndarray, qvalid: jnp.ndarray,
+            kw: jnp.ndarray | None = None):
+    """Vectorized bounded-window lookup. Returns slot per query, -1 if absent."""
+    capacity = table_keys.shape[0]
+    if kw is None:
+        kw = _keys_wide(table_keys)
+    h0, rows = _window_rows(kw, qkeys, capacity)
+    matched = rows == qkeys[:, None]
+    found = qvalid & jnp.any(matched, axis=1)
+    pos = jnp.argmax(matched, axis=1).astype(jnp.int32)
+    return jnp.where(found, (h0 + pos) & (capacity - 1), jnp.int32(-1))
 
 
 # ---------------------------------------------------------------------------
 # Downsampling (reference icp.cpp:9-30)
 # ---------------------------------------------------------------------------
 
-
-_IDX_BITS = 18  # supports up to 262144 points per call
-_LOCAL_BITS = 15  # per-axis local voxel window: +-16383 voxels around anchor
+_LOCAL_BITS = 15  # legacy per-axis window for first_point_per_voxel
 
 
 def _voxel_group_sort(vox, mask, n: int):
@@ -122,9 +171,7 @@ def _voxel_group_sort(vox, mask, n: int):
     Variadic sort (argsort) lowers catastrophically when batched on TPU
     (measured 880x slower under vmap), so the sort key packs
     (15-bit/axis anchor-relative voxel coords | original index): the sorted
-    values carry both the grouping and a stable within-group order. The
-    anchor is the first valid point's voxel — valid scans span far less than
-    the +-16383-voxel window; out-of-window points are dropped (masked).
+    values carry both the grouping and a stable within-group order.
 
     Returns (order (N,) i32 — original index per sorted position,
              group_key (N,) i64 sorted, valid_sorted (N,) bool).
@@ -168,111 +215,108 @@ def first_point_per_voxel(points, mask, voxel_size: float, out_capacity: int):
     return out, out_mask, n_unique
 
 
-# ---------------------------------------------------------------------------
-# Lookup
-# ---------------------------------------------------------------------------
+class GroupedCloud(NamedTuple):
+    """A compacted, map-voxel-grouped downsample (fused_downsample output).
 
-
-_FP_WIDTH = 8  # wide-probe window; splitmix chains at load <= 0.3 stay under it
-
-
-def _fingerprint(key: jnp.ndarray) -> jnp.ndarray:
-    """31-bit fingerprint of a packed key; 0/1 reserved for EMPTY/DELETED."""
-    k = key.astype(jnp.uint64)
-    k = (k ^ (k >> jnp.uint64(33))) * jnp.uint64(0xFF51AFD7ED558CCD)
-    k = k ^ (k >> jnp.uint64(33))
-    fp = (k >> jnp.uint64(33)).astype(jnp.int32)  # 31 bits, non-negative
-    return jnp.where(fp < 2, fp + 2, fp)
-
-
-def _fps_wide(table_keys: jnp.ndarray) -> jnp.ndarray:
-    """(C, W) fingerprint window: row s holds fps of slots s..s+W-1 (wrapped).
-
-    Computed on the fly from the keys (cheap: one pass + W rolls); turns the
-    per-round probe gathers into a single wide-row gather per query.
+    points:   (M, 3) f32, grouped by map voxel (coarse), first-wins order
+    mask:     (M,)   bool
+    head:     (M,)   bool — first point of its map voxel
+    head_pos: (M,)   i32 — output index of this point's map-voxel head
+    rank:     (M,)   i32 — position within the map voxel (0 = head)
+    n_unique: ()     i32 — number of valid output points
     """
-    fp = _fingerprint(table_keys)
-    fp = jnp.where(table_keys == EMPTY, 0, fp)
-    fp = jnp.where(table_keys == DELETED, 1, fp)
-    return jnp.stack(
-        [jnp.roll(fp, -j) for j in range(_FP_WIDTH)], axis=1
-    )
+
+    points: jnp.ndarray
+    mask: jnp.ndarray
+    head: jnp.ndarray
+    head_pos: jnp.ndarray
+    rank: jnp.ndarray
+    n_unique: jnp.ndarray
 
 
-def _lookup_wide(table_keys, fps_wide, qkeys, qvalid, max_probes: int):
-    """One-shot wide-window probe: a single (N, W) fingerprint-row gather
-    resolves every chain of length <= W; rare longer chains fall back to the
-    scalar probe loop starting at offset W.
+_DS_BITS = 9  # fine (half-voxel) window per axis for the fused downsample
+_RANK_CAP = 255
 
-    False-positive fingerprint matches (~2^-31 per probe) can return a
-    neighboring block once per ~1e4 scans; the robust ICP kernel absorbs it
-    — documented accuracy/speed trade.
+
+def fused_downsample(points, mask, voxel_size: float, out_capacity: int):
+    """First-point-per-(voxel/2) downsample that ALSO groups its output by
+    the full-size voxel, so a following map insert needs no second sort.
+
+    One int64 sort of (coarse | fine | idx) provides both groupings: `fine`
+    is the 0.5*voxel downsample cell (reference icp.cpp:126-135 map-insert
+    downsample), `coarse` the map voxel. Truncation-toward-zero composes
+    under the 2x ratio, so coarse = tdiv2(fine) matches the reference's
+    separate trunc(p/voxel).
+
+    Returns a GroupedCloud at `voxel_size/2` resolution, grouped by
+    `voxel_size` voxels.
     """
-    capacity = table_keys.shape[0]
-    h0 = _hash_key(qkeys, capacity)
-    rows = fps_wide[h0]  # (N, W) int32
-    qfp = _fingerprint(qkeys)[:, None]
-    matched = rows == qfp
-    is_empty = rows == 0
-    pos_match = jnp.argmax(matched, axis=1)
-    has_match = jnp.any(matched, axis=1)
-    pos_empty = jnp.where(
-        jnp.any(is_empty, axis=1), jnp.argmax(is_empty, axis=1), _FP_WIDTH
+    n = points.shape[0]
+    assert n <= (1 << 17), f"{n} points exceed the fused-downsample budget"
+    fine = voxel_of(points, 0.5 * voxel_size)  # (N,3) i32
+    # truncation-toward-zero halving (matches voxel_of(points, voxel_size))
+    coarse = (fine + ((fine >> 31) & 1)) >> 1
+    fres = fine - 2 * coarse + 1  # {0,1,2}: sign-dependent fine residual
+
+    anchor_i = jnp.argmax(mask)
+    local_c = coarse - coarse[anchor_i][None, :] + (1 << (_DS_BITS - 1))
+    in_window = jnp.all((local_c >= 0) & (local_c < (1 << _DS_BITS)), axis=-1)
+    valid = mask & in_window
+
+    ckey = (
+        (local_c[:, 0].astype(jnp.int64) << (2 * _DS_BITS))
+        | (local_c[:, 1].astype(jnp.int64) << _DS_BITS)
+        | local_c[:, 2].astype(jnp.int64)
     )
-    found = qvalid & has_match & (pos_match < pos_empty)
-    absent = qvalid & ~found & (pos_empty < _FP_WIDTH)
-    slots = jnp.where(
-        found, (h0 + pos_match.astype(jnp.int32)) & (capacity - 1), jnp.int32(-1)
+    fkey = (fres[:, 0] << 4) | (fres[:, 1] << 2) | fres[:, 2]  # 6 bits
+    key = (ckey << 6) | fkey.astype(jnp.int64)
+    packed = (key << 17) | jnp.arange(n, dtype=jnp.int64)
+    packed = jnp.where(valid, packed, _SENTINEL)
+    s = jnp.sort(packed)
+
+    idx_s = (s & ((1 << 17) - 1)).astype(jnp.int32)
+    fine_key = s >> 17
+    coarse_key = s >> 23
+    valid_s = s < _SENTINEL
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    prev_f = jnp.concatenate([jnp.full((1,), -9, fine_key.dtype), fine_key[:-1]])
+    first = valid_s & (fine_key != prev_f)
+    prev_c = jnp.concatenate([jnp.full((1,), -9, coarse_key.dtype), coarse_key[:-1]])
+    c_first = valid_s & (coarse_key != prev_c)
+
+    out_idx = jnp.cumsum(first.astype(jnp.int32)) - 1  # target output position
+    n_unique = jnp.minimum(jnp.maximum(out_idx[-1] + 1, 0), out_capacity)
+    # output position of the current map-voxel head (out_idx is nondecreasing)
+    head_out = jax.lax.cummax(jnp.where(c_first, out_idx, 0))
+
+    # compact: second sort moves `first` lanes to the front in order
+    # (an i32 sort — cheaper than a full-lane scatter)
+    packed2 = jnp.where(first & (out_idx < out_capacity), pos, (1 << 30) + pos)
+    sel = jnp.sort(packed2)[:out_capacity] & ((1 << 30) - 1)  # sorted positions
+
+    osel = idx_s[sel]
+    out_pts = points[osel].astype(jnp.float32)
+    out_mask = jnp.arange(out_capacity, dtype=jnp.int32) < n_unique
+    out_head = c_first[sel] & out_mask
+    out_head_pos = jnp.minimum(head_out[sel], out_capacity - 1)
+    out_rank = jnp.clip(out_idx[sel] - head_out[sel], 0, _RANK_CAP)
+    return GroupedCloud(
+        points=jnp.where(out_mask[:, None], out_pts, 0.0),
+        mask=out_mask,
+        head=out_head,
+        head_pos=out_head_pos,
+        rank=out_rank,
+        n_unique=n_unique,
     )
-    # unresolved: no match and no EMPTY within the window -> keep probing
-    unresolved = qvalid & ~found & ~absent
-
-    def cond(state):
-        j, slots = state
-        return (j < max_probes) & jnp.any(slots == -2)
-
-    def body(state):
-        j, slots = state
-        active = slots == -2
-        cand = (h0 + j) & (capacity - 1)
-        k_at = table_keys[cand]
-        hit = active & (k_at == qkeys)
-        end = active & (k_at == EMPTY)
-        slots = jnp.where(hit, cand, slots)
-        slots = jnp.where(end, jnp.int32(-1), slots)
-        return j + 1, slots
-
-    slots = jnp.where(unresolved, jnp.int32(-2), slots)
-    _, slots = jax.lax.while_loop(cond, body, (jnp.int32(_FP_WIDTH), slots))
-    return jnp.where(slots == -2, jnp.int32(-1), slots)
 
 
-def _lookup(table_keys: jnp.ndarray, qkeys: jnp.ndarray, qvalid: jnp.ndarray, max_probes: int):
-    """Vectorized linear-probe lookup. Returns slot per query, -1 if absent."""
-    capacity = table_keys.shape[0]
-    h0 = _hash_key(qkeys, capacity)
-    slots = jnp.where(qvalid, jnp.int32(-2), jnp.int32(-1))  # -2 = unresolved
-
-    def cond(state):
-        j, slots = state
-        return (j < max_probes) & jnp.any(slots == -2)
-
-    def body(state):
-        j, slots = state
-        active = slots == -2
-        cand = (h0 + j) & (capacity - 1)
-        k_at = table_keys[cand]
-        found = active & (k_at == qkeys)
-        absent = active & (k_at == EMPTY)  # chain ends at EMPTY (not DELETED)
-        slots = jnp.where(found, cand, slots)
-        slots = jnp.where(absent, jnp.int32(-1), slots)
-        return j + 1, slots
-
-    _, slots = jax.lax.while_loop(cond, body, (jnp.int32(0), slots))
-    return jnp.where(slots == -2, jnp.int32(-1), slots)
+# ---------------------------------------------------------------------------
+# Lookup / candidates
+# ---------------------------------------------------------------------------
 
 
-_NEIGHBOR_OFFSETS = jnp.stack(
+_NEIGHBOR_OFFSETS_27 = jnp.stack(
     jnp.meshgrid(
         jnp.arange(-1, 2, dtype=jnp.int32),
         jnp.arange(-1, 2, dtype=jnp.int32),
@@ -284,47 +328,71 @@ _NEIGHBOR_OFFSETS = jnp.stack(
 
 
 def gather_candidates(m: VoxelMap, queries, qmask, cfg: MapConfig):
-    """Fetch the 3x3x3-neighborhood candidate blocks for each query point.
+    """Fetch the neighborhood candidate blocks for each query point.
 
-    The expensive part of NN search (hash probes + wide-row gathers),
+    The expensive part of NN search (window probes + wide-row gathers),
     separated from the cheap distance reduction so callers (the ICP loop)
     can fetch once per scan and re-reduce every iteration.
 
-    Returns (cand (N, 27*K, 3) f32, cand_valid (N, 27*K) bool).
+    cfg.neighborhood selects 27 (full 3x3x3 shell) or 8 (the 2x2x2 block
+    nearest the query — guaranteed to contain any neighbor within half a
+    voxel; a documented fast-mode deviation).
+
+    Returns (cand (N, NB*K*3) f32 flat, cand_valid (N, NB*K) bool).
     """
     k = cfg.max_points_per_voxel
     n = queries.shape[0]
     vox = voxel_of(queries, cfg.voxel_size)  # (N, 3)
-    nbr = vox[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]  # (N, 27, 3)
-    nkeys = pack_key(nbr).reshape(-1)  # (N*27,)
-    nvalid = jnp.repeat(qmask, 27)
-    fps = _fps_wide(m.keys)
-    slots = _lookup_wide(m.keys, fps, nkeys, nvalid, cfg.max_probes)  # (N*27,)
+    if cfg.neighborhood == 8:
+        # 2x2x2 cover of the +-half-voxel cube around the query: on the
+        # trunc-toward-zero grid the voxel ids intersecting [q-s/2, q+s/2]
+        # per axis are exactly {voxel_of(q-s/2), voxel_of(q+s/2)} (they
+        # differ by at most 1, incl. around the double-width zero cell), so
+        # the 8 lo/hi combinations cover every neighbor within half a voxel.
+        half = 0.5 * cfg.voxel_size
+        lo = voxel_of(queries.astype(jnp.float32) - half, cfg.voxel_size)
+        hi = voxel_of(queries.astype(jnp.float32) + half, cfg.voxel_size)
+        offs = jnp.stack(
+            jnp.meshgrid(
+                jnp.arange(2, dtype=jnp.int32),
+                jnp.arange(2, dtype=jnp.int32),
+                jnp.arange(2, dtype=jnp.int32),
+                indexing="ij",
+            ),
+            axis=-1,
+        ).reshape(8, 3)  # (8, 3) of {0, 1}
+        nbr = jnp.where(offs[None, :, :] == 0, lo[:, None, :], hi[:, None, :])
+        nb = 8
+    else:
+        nbr = vox[:, None, :] + _NEIGHBOR_OFFSETS_27[None, :, :]  # (N, 27, 3)
+        nb = 27
+    nkeys = pack_key(nbr).reshape(-1)  # (N*NB,)
+    nvalid = jnp.repeat(qmask, nb)
+    slots = _lookup(m.keys, nkeys, nvalid)  # (N*NB,)
 
     present = slots >= 0
     safe_slot = jnp.where(present, slots, 0)
-    cnt = jnp.where(present, m.npts[safe_slot], 0)  # (N*27,)
     # gather whole K-point block rows (K*3 floats each): one wide-row gather
-    # instead of N*27*K tiny 12-byte gathers — TPU gather throughput scales
-    # with row width, not row count. Candidates stay FLAT (N, 27*K*3): a
+    # instead of N*NB*K tiny 12-byte gathers — TPU gather throughput scales
+    # with row width, not row count. Candidates stay FLAT (N, NB*K*3): a
     # trailing dimension of 3 would be lane-padded to 128 when loop-carried.
-    cand = m.points[safe_slot].reshape(n, 27 * k * 3)
-    cand_valid = (
-        jnp.arange(k, dtype=jnp.int32)[None, :] < cnt[:, None]
-    ).reshape(n, 27 * k)
+    # Unused block lanes hold +inf and self-mask in the distance reduction.
+    cand = m.points[safe_slot].reshape(n, nb * k * 3)
+    cand_valid = jnp.repeat(present.reshape(n, nb), k, axis=1)
     return cand, cand_valid
 
 
 def nn_from_candidates(cand, cand_valid, queries, qmask):
     """Distance argmin over pre-fetched candidates (VPU-only, no gathers).
 
-    `cand` is flat (N, 27*K*3); strided lane slices expose x/y/z without ever
-    materializing a (..., 3)-minor tensor (lane-padding trap).
+    `cand` is flat (N, NB*K*3); strided lane slices expose x/y/z without ever
+    materializing a (..., 3)-minor tensor (lane-padding trap). Empty slots
+    carry +inf coordinates and lose the argmin automatically.
 
     Returns (nn_points (N,3) f32, nn_dist_sq (N,) f32, found (N,) bool).
     """
     q = queries.astype(jnp.float32)
-    x, y, z = cand[:, 0::3], cand[:, 1::3], cand[:, 2::3]  # each (N, 27K)
+    x, y, z = cand[:, 0::3], cand[:, 1::3], cand[:, 2::3]  # each (N, NB*K)
     d2 = (
         (x - q[:, 0:1]) ** 2 + (y - q[:, 1:2]) ** 2 + (z - q[:, 2:3]) ** 2
     )
@@ -334,11 +402,14 @@ def nn_from_candidates(cand, cand_valid, queries, qmask):
     take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]  # noqa: E731
     nn_pt = jnp.stack([take(x), take(y), take(z)], axis=-1)
     found = qmask & jnp.isfinite(nn_d2)
+    # not-found lanes would carry the +inf sentinel: return a finite point so
+    # masked downstream arithmetic (0-weight * residual) can't produce NaN
+    nn_pt = jnp.where(found[:, None], nn_pt, 0.0)
     return nn_pt, jnp.where(found, nn_d2, jnp.inf), found
 
 
 def nearest_neighbors(m: VoxelMap, queries, qmask, cfg: MapConfig):
-    """True NN over the 3x3x3 voxel neighborhood of each query.
+    """True NN over the voxel neighborhood of each query.
 
     Returns (nn_points (N,3) f32, nn_dist_sq (N,) f32, found (N,) bool).
     See module docstring for the deviation from reference
@@ -352,156 +423,158 @@ def nearest_neighbors(m: VoxelMap, queries, qmask, cfg: MapConfig):
 # Insert (reference voxel_hash_map.cpp:12-62)
 # ---------------------------------------------------------------------------
 
+_ALLOC_CAP = 16384  # compacted allocation lanes per insert call
 
-def _find_insert_slots(table_keys, qkeys, active, max_probes: int, attempts: int = 4):
-    """Find-or-allocate a slot for each unique key (claim contest on ties).
 
-    Per attempt: one wide fingerprint-window gather resolves match/first-free
-    for chains within _FP_WIDTH (matches are verified against the real key —
-    inserts must be exact); longer chains take the scalar probe loop. Claim
-    conflicts lose and retry against the updated table.
+def _find_or_alloc(table_keys, qkeys, active, attempts: int = 4,
+                   alloc_cap: int | None = None):
+    """Find-or-allocate a window slot for each active key.
 
-    Returns (updated_table_keys, slots (N,) int32 with -1 for dropped keys,
-    reused_tombstones ()).
+    Phase 1: one wide-window gather resolves every present key. Phase 2:
+    missing keys are COMPACTED to `alloc_cap` lanes (allocation is the rare
+    case at steady state; compaction keeps the claim-contest gathers small)
+    and claim free window slots over up to `attempts` contest rounds.
+    Duplicate missing keys converge: the loser finds the winner's key on the
+    next round. Keys whose window has no free slot (or beyond alloc_cap) are
+    dropped and counted.
+
+    Returns (new_table_keys, slots (N,) i32 with -1 for dropped/inactive,
+             reused_tombstones (), dropped ()).
     """
     capacity = table_keys.shape[0]
     n = qkeys.shape[0]
-    h0 = _hash_key(qkeys, capacity)
-    qfp = _fingerprint(qkeys)
-    idxs = jnp.arange(n, dtype=jnp.int32)
-    result = jnp.where(active, jnp.int32(-2), jnp.int32(-1))
-    reused = jnp.zeros((), jnp.int32)
+    acap = min(n, _ALLOC_CAP if alloc_cap is None else alloc_cap)
+    h0 = _hash32(qkeys, capacity)
 
-    def attempt_body(carry):
-        table_keys, result, reused = carry
-        unresolved = result == -2
+    kw = _keys_wide(table_keys)
+    rows = kw[h0]
+    matched = rows == qkeys[:, None]
+    found = active & jnp.any(matched, axis=1)
+    pos = jnp.argmax(matched, axis=1).astype(jnp.int32)
+    slots = jnp.where(found, (h0 + pos) & (capacity - 1), jnp.int32(-1))
 
-        # Phase 1a: wide window
-        rows = _fps_wide(table_keys)[h0]  # (N, W)
-        matched = rows == qfp[:, None]
-        is_empty = rows == 0
-        free = is_empty | (rows == 1)
-        pos_match = jnp.argmax(matched, axis=1).astype(jnp.int32)
-        pos_empty = jnp.where(
-            jnp.any(is_empty, axis=1), jnp.argmax(is_empty, axis=1), _FP_WIDTH
-        ).astype(jnp.int32)
-        pos_free = jnp.where(
-            jnp.any(free, axis=1), jnp.argmax(free, axis=1), _FP_WIDTH
-        ).astype(jnp.int32)
-        cand_match = jnp.any(matched, axis=1) & (pos_match < pos_empty)
-        mslot = (h0 + pos_match) & (capacity - 1)
-        verified = cand_match & (table_keys[mslot] == qkeys)
-        result = jnp.where(unresolved & verified, mslot, result)
+    missing = active & ~found
+    # compact missing lanes to the front via one i32 sort
+    lane = jnp.arange(n, dtype=jnp.int32)
+    packed = jnp.where(missing, lane, (1 << 30) + lane)
+    order = jnp.sort(packed)[:acap]
+    mlane = order & ((1 << 30) - 1)  # (A,) source lane of each alloc slot
+    mactive = order < (1 << 30)
+    n_missing = jnp.sum(missing, dtype=jnp.int32)
+    dropped = jnp.maximum(n_missing - acap, 0)
 
-        # chain certainly ends inside the window -> key absent -> claimable
-        wide_claim = (
-            unresolved & ~verified & ~cand_match & (pos_empty < _FP_WIDTH)
+    mkeys = qkeys[mlane]
+    mh0 = h0[mlane]
+    aidx = jnp.arange(acap, dtype=jnp.int32)
+
+    def body(carry):
+        att, table_keys, mslots, reused = carry
+        kw = _keys_wide(table_keys)
+        rows = kw[mh0]  # (A, W)
+        unresolved = mactive & (mslots == -1)
+        matched = rows == mkeys[:, None]
+        hit = unresolved & jnp.any(matched, axis=1)
+        hpos = jnp.argmax(matched, axis=1).astype(jnp.int32)
+        mslots = jnp.where(hit, (mh0 + hpos) & (capacity - 1), mslots)
+        unresolved = unresolved & ~hit
+
+        free = (rows == EMPTY) | (rows == DELETED)
+        has_free = jnp.any(free, axis=1)
+        fpos = jnp.argmax(free, axis=1).astype(jnp.int32)
+        claimer = unresolved & has_free
+        cslot = (mh0 + fpos) & (capacity - 1)
+        claims = jnp.full((capacity,), acap, jnp.int32)
+        claims = claims.at[jnp.where(claimer, cslot, capacity)].min(
+            aidx, mode="drop"
         )
-        wide_slot = (h0 + pos_free) & (capacity - 1)
-
-        # Phase 1b: scalar fallback for chains beyond the window or
-        # fingerprint false positives
-        needs_scan = unresolved & ~verified & ~wide_claim
-
-        def scan_cond(s):
-            j, scanning, _, _ = s
-            return (j < max_probes) & jnp.any(scanning)
-
-        def scan_body(s):
-            j, scanning, avail, match = s
-            cand = (h0 + j) & (capacity - 1)
-            k_at = table_keys[cand]
-            is_match = scanning & (k_at == qkeys)
-            is_end = scanning & (k_at == EMPTY)
-            is_free = is_end | (scanning & (k_at == DELETED))
-            avail = jnp.where(is_free & (avail < 0), cand, avail)
-            match = jnp.where(is_match, cand, match)
-            scanning = scanning & ~is_match & ~is_end
-            return j + 1, scanning, avail, match
-
-        init = (
-            jnp.int32(0),
-            needs_scan,
-            jnp.full((n,), -1, jnp.int32),
-            jnp.full((n,), -1, jnp.int32),
-        )
-        _, _, scan_avail, scan_match = jax.lax.while_loop(
-            scan_cond, scan_body, init
-        )
-        result = jnp.where(needs_scan & (scan_match >= 0), scan_match, result)
-        scan_claim = needs_scan & (scan_match < 0) & (scan_avail >= 0)
-
-        # Phase 2: claim contest (min query index wins a slot)
-        claimer = wide_claim | scan_claim
-        slot = jnp.where(wide_claim, wide_slot, scan_avail)
-        claim_slot = jnp.where(claimer, slot, capacity)  # OOB -> dropped
-        claims = jnp.full((capacity,), n, jnp.int32)
-        claims = claims.at[claim_slot].min(idxs, mode="drop")
-        won = claimer & (claims[jnp.where(claimer, slot, 0)] == idxs)
-        was_tomb = won & (table_keys[jnp.where(won, slot, 0)] == DELETED)
+        won = claimer & (claims[cslot] == aidx)
+        was_tomb = won & (table_keys[cslot] == DELETED)
         reused = reused + jnp.sum(was_tomb, dtype=jnp.int32)
-        table_keys = table_keys.at[jnp.where(won, slot, capacity)].set(
-            qkeys, mode="drop"
+        table_keys = table_keys.at[jnp.where(won, cslot, capacity)].set(
+            mkeys, mode="drop"
         )
-        result = jnp.where(won, slot, result)
-        return table_keys, result, reused
+        mslots = jnp.where(won, cslot, mslots)
+        # mark tombstone-reused slots negatively so the caller can reset rows
+        return att + 1, table_keys, mslots, reused
 
-    def attempt_cond(carry_j):
-        j, (table_keys, result, reused) = carry_j
-        return (j < attempts) & jnp.any(result == -2)
+    def cond(carry):
+        att, _, mslots, _ = carry
+        return (att < attempts) & jnp.any(mactive & (mslots == -1))
 
-    def attempt_wrap(carry_j):
-        j, carry = carry_j
-        return j + 1, attempt_body(carry)
+    init = (jnp.int32(0), table_keys, jnp.full((acap,), -1, jnp.int32),
+            jnp.zeros((), jnp.int32))
+    _, table_keys, mslots, reused = jax.lax.while_loop(cond, body, init)
 
-    _, (table_keys, result, reused) = jax.lax.while_loop(
-        attempt_cond, attempt_wrap, (jnp.int32(0), (table_keys, result, reused))
+    dropped = dropped + jnp.sum(mactive & (mslots == -1), dtype=jnp.int32)
+    # scatter resolved alloc slots back to their lanes
+    slots = slots.at[jnp.where(mactive, mlane, n)].set(
+        jnp.where(mactive, mslots, -1), mode="drop"
     )
-    return table_keys, jnp.where(result == -2, jnp.int32(-1), result), reused
+    return table_keys, slots, reused, dropped
+
+
+def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
+                   keys=None) -> VoxelMap:
+    """Insert a pre-grouped compacted cloud (fused_downsample output).
+
+    Within a voxel, earlier positions win the block's remaining capacity,
+    matching the reference's sequential insert order
+    (voxel_hash_map.cpp:48-61). Only group heads probe/allocate; members
+    take their head's slot via `head_pos`.
+
+    Invariant relied on: non-live slots (EMPTY or DELETED) always hold +inf
+    point rows and npts == 0 — maintained by create/evict_far/rebuild — so
+    claimed slots need no reset here.
+    """
+    k = cfg.max_points_per_voxel
+    capacity = cfg.capacity
+    n = g.points.shape[0]
+    if keys is None:
+        keys = pack_key(voxel_of(g.points, cfg.voxel_size))
+
+    new_keys, slots, reused, dropped = _find_or_alloc(
+        m.keys, keys, g.head & g.mask
+    )
+    slot = slots[jnp.minimum(g.head_pos, n - 1)]  # my head's slot
+    ok = g.mask & (slot >= 0)
+    base = jnp.where(ok, m.npts[jnp.where(ok, slot, 0)], 0)
+    pos = base + g.rank
+    ok = ok & (pos < k)
+    flat = jnp.where(ok, slot * (k * 3) + pos * 3, capacity * k * 3)
+    pts_view = m.points.reshape(-1)
+    for c in range(3):
+        pts_view = pts_view.at[flat + c].set(g.points[:, c], mode="drop")
+    new_points = pts_view.reshape(capacity, k * 3)
+    new_npts = m.npts.at[jnp.where(ok, slot, capacity)].max(pos + 1, mode="drop")
+    return VoxelMap(new_keys, new_points, new_npts,
+                    m.tombstones - reused, m.drops + dropped)
 
 
 def insert(m: VoxelMap, points, mask, cfg: MapConfig) -> VoxelMap:
     """Insert world-frame points, appending at most K per voxel.
 
-    Within a voxel, earlier array positions win the block's remaining
-    capacity, matching the reference's sequential insert order
-    (voxel_hash_map.cpp:48-61). Sort-free: duplicate keys converge to one
-    slot inside `_find_insert_slots` (losers re-probe and match the winner's
-    write), then K claim rounds hand out in-block positions in index order.
+    Sort-based grouping wrapper around insert_grouped (callers holding a
+    fused_downsample output should insert that directly — no sort needed).
     """
-    k = cfg.max_points_per_voxel
-    capacity = cfg.capacity
     n = points.shape[0]
     assert n <= (1 << _IDX_BITS), f"{n} points exceed the packed-sort budget"
-
     vox = voxel_of(points, cfg.voxel_size)
     order, group, valid_s = _voxel_group_sort(vox, mask, n)
-    key_s = pack_key(vox[order])
     pts_s = points[order].astype(jnp.float32)
 
     idxs = jnp.arange(n, dtype=jnp.int32)
     prev = jnp.concatenate([jnp.full((1,), -9, group.dtype), group[:-1]])
     first = valid_s & (group != prev)
     seg_start = jax.lax.cummax(jnp.where(first, idxs, jnp.int32(0)))
-    rank = idxs - seg_start
-
-    # only segment heads probe/allocate: keys passed to the table are unique
-    new_keys, slots_first, reused = _find_insert_slots(
-        m.keys, key_s, first, cfg.max_probes
+    g = GroupedCloud(
+        points=pts_s,
+        mask=valid_s,
+        head=first,
+        head_pos=seg_start,
+        rank=idxs - seg_start,
+        n_unique=jnp.sum(first, dtype=jnp.int32),
     )
-    slot = slots_first[seg_start]  # broadcast a segment's slot to its members
-
-    ok = valid_s & (slot >= 0)
-    base = jnp.where(ok, m.npts[jnp.where(ok, slot, 0)], 0)
-    pos = base + rank
-    ok = ok & (pos < k)
-    flat = jnp.where(ok, slot * (k * 3) + pos * 3, capacity * k * 3)  # OOB drop
-    pts_view = m.points.reshape(-1)
-    for c in range(3):
-        pts_view = pts_view.at[flat + c].set(pts_s[:, c], mode="drop")
-    new_points = pts_view.reshape(capacity, k * 3)
-    new_npts = m.npts.at[jnp.where(ok, slot, capacity)].max(pos + 1, mode="drop")
-    return VoxelMap(new_keys, new_points, new_npts, m.tombstones - reused)
+    return insert_grouped(m, g, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -525,18 +598,21 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
     """
     c, k = cfg.capacity, cfg.max_points_per_voxel
     occupied = m.keys >= 0
-    vox = unpack_key(jnp.where(occupied, m.keys, 0))
-    origin_vox = voxel_of(origin, cfg.voxel_size)
-    dvox = (vox - origin_vox[None, :]).astype(jnp.float32) * jnp.float32(cfg.voxel_size)
+    origin_vox = voxel_of(origin.astype(jnp.float32), cfg.voxel_size)
+    dvox = unpack_key_rel(jnp.where(occupied, m.keys, 0), origin_vox).astype(
+        jnp.float32
+    ) * jnp.float32(cfg.voxel_size)
     far_block = occupied & (jnp.sum(dvox * dvox, axis=-1) > cfg.max_range**2)
 
     if not exact_boundary:
         new_keys = jnp.where(far_block, DELETED, m.keys)
+        new_points = jnp.where(far_block[:, None], jnp.inf, m.points)
         return VoxelMap(
             new_keys,
-            m.points,
+            new_points,
             jnp.where(far_block, 0, m.npts),
             m.tombstones + jnp.sum(far_block, dtype=jnp.int32),
+            m.drops,
         )
 
     pts = m.points.reshape(c, k, 3)  # cold path: exact_boundary only
@@ -549,15 +625,18 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
     sort_key = jnp.where(keep, 0, 1) * k + jnp.arange(k, dtype=jnp.int32)[None, :]
     perm = jnp.argsort(sort_key, axis=1)
     pts_c = jnp.take_along_axis(pts, perm[:, :, None], axis=1)
-    new_npts = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    new_npts = jnp.where(occupied, jnp.sum(keep, axis=1, dtype=jnp.int32), 0)
+    live_c = jnp.arange(k, dtype=jnp.int32)[None, :] < new_npts[:, None]
+    pts_c = jnp.where(live_c[:, :, None], pts_c, jnp.inf)
 
     emptied = occupied & (new_npts == 0) & far_block
     new_keys = jnp.where(emptied, DELETED, m.keys)
     return VoxelMap(
         new_keys,
         pts_c.reshape(c, k * 3),
-        jnp.where(occupied, new_npts, 0),
+        new_npts,
         m.tombstones + jnp.sum(emptied, dtype=jnp.int32),
+        m.drops,
     )
 
 
@@ -582,7 +661,9 @@ def export_points(m: VoxelMap, cfg: MapConfig):
         jnp.arange(cfg.capacity * k, dtype=jnp.int32) % k
     ) < jnp.repeat(m.npts, k)
     occ = jnp.repeat(m.keys >= 0, k)
-    return m.points.reshape(cfg.capacity * k, 3), live & occ
+    pts = m.points.reshape(cfg.capacity * k, 3)
+    mask = live & occ
+    return jnp.where(mask[:, None], pts, 0.0), mask
 
 
 def num_voxels(m: VoxelMap) -> jnp.ndarray:
@@ -592,17 +673,21 @@ def num_voxels(m: VoxelMap) -> jnp.ndarray:
 def rebuild(m: VoxelMap, cfg: MapConfig) -> VoxelMap:
     """Compact the table into a fresh one (clears tombstones).
 
-    Host may call this when `tombstones` grows large; probe chains are
-    re-derived from scratch.
+    Host may call this when `tombstones` grows large; windows are re-derived
+    from scratch.
     """
     occupied = m.keys >= 0
     fresh_keys = jnp.full_like(m.keys, EMPTY)
-    new_keys, slots, _ = _find_insert_slots(fresh_keys, jnp.where(occupied, m.keys, 0), occupied, cfg.max_probes)
+    new_keys, slots, _, dropped = _find_or_alloc(
+        fresh_keys, jnp.where(occupied, m.keys, 0), occupied,
+        alloc_cap=m.keys.shape[0],
+    )
     ok = occupied & (slots >= 0)
     dst = jnp.where(ok, slots, cfg.capacity)
-    pts = jnp.zeros_like(m.points).at[dst].set(m.points, mode="drop")
+    pts = jnp.full_like(m.points, jnp.inf).at[dst].set(m.points, mode="drop")
     npts = jnp.zeros_like(m.npts).at[dst].set(jnp.where(ok, m.npts, 0), mode="drop")
-    return VoxelMap(new_keys, pts, npts, jnp.zeros((), jnp.int32))
+    return VoxelMap(new_keys, pts, npts, jnp.zeros((), jnp.int32),
+                    m.drops + dropped)
 
 
 def clear(cfg: MapConfig) -> VoxelMap:

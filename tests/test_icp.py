@@ -126,3 +126,39 @@ class TestDeskew:
         tau = jnp.full((4,), 0.5, jnp.float32)
         out = deskew.constant_velocity_deskew(pts, tau, start, end)
         np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-6)
+
+
+class TestPartialCorrespondence:
+    def test_align_clouds_ignores_absent_targets(self):
+        """Round-2 regression: absent correspondences carry +inf targets
+        (voxel_map v2 sentinel); zero weight times inf must not poison the
+        normal equations (0 * inf = NaN zeroed the whole GN step)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lidar_imu_slam_tpu.ops import icp as icp_ops, lie
+
+        rng = np.random.default_rng(3)
+        src = jnp.asarray(rng.uniform(-5, 5, (256, 3)))
+        shift = jnp.asarray([0.2, 0.0, 0.0])
+        tgt = src + shift
+        # half the lanes have no correspondence: inf target, mask False
+        corr = jnp.arange(256) % 2 == 0
+        tgt = jnp.where(corr[:, None], tgt, jnp.inf)
+        est = icp_ops.align_clouds(src, tgt, corr, 1.0)
+        xi = np.asarray(lie.se3_log(est))
+        assert np.isfinite(xi).all()
+        # must actually move toward the shift, not return identity
+        assert abs(xi[0] - 0.2) < 0.05, xi
+
+    def test_nn_from_candidates_absent_returns_finite_point(self):
+        import jax.numpy as jnp
+
+        from lidar_imu_slam_tpu.ops import voxel_map as vm
+
+        cand = jnp.full((4, 6), jnp.inf, jnp.float32)  # 2 candidates/query
+        cand_valid = jnp.ones((4, 2), bool)
+        q = jnp.zeros((4, 3), jnp.float32)
+        nn, d2, found = vm.nn_from_candidates(cand, cand_valid, q, jnp.ones(4, bool))
+        assert not bool(found.any())
+        assert bool(jnp.isfinite(nn).all())
