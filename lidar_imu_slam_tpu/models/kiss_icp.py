@@ -132,11 +132,13 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
     )
     init_guess = last_pose @ get_prediction_model(state)
 
-    # 3. world transform (f32: ulp < 1mm out to 8km) + fused grouped
-    #    downsample (map insert @ 0.5*vox; reference icp.cpp:126-135)
+    # 3. world transform (f32: ulp < 1mm out to 8km; ELEMENTWISE — a matmul
+    #    here runs at bf16 MXU precision and quantizes every point, see
+    #    lie.rotate_points) + fused grouped downsample (map insert @ 0.5*vox;
+    #    reference icp.cpp:126-135)
     Rg = init_guess[:3, :3].astype(jnp.float32)
     tg = init_guess[:3, 3].astype(jnp.float32)
-    world = deskewed_xyz @ Rg.T + tg
+    world = lie.rotate_points(Rg, deskewed_xyz) + tg
     g = voxel_map.fused_downsample(
         world, scan.mask, cfg.map.voxel_size, cfg.icp.max_map_points
     )
@@ -190,8 +192,18 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
     delta = new_pose @ lie.transform_inverse(init_guess)
     Rd = delta[:3, :3].astype(jnp.float32)
     td = delta[:3, 3].astype(jnp.float32)
-    g_corr = g._replace(points=g.points @ Rd.T + td)
-    new_map = voxel_map.insert_grouped(state.map, g_corr, cfg.map)
+    g_corr = g._replace(points=lie.rotate_points(Rd, g.points) + td)
+    # block keys come from the PRE-correction grouping voxels: they are
+    # unique per group by construction, whereas keys recomputed from the
+    # corrected points can collide when the ICP delta moves two adjacent
+    # groups into one voxel — colliding groups would scatter into the same
+    # block rows and silently overwrite each other. The key is then at most
+    # one voxel off (delta is small post-convergence); the 27-neighborhood
+    # NN still finds the points. Documented deviation (PARITY.md).
+    pre_keys = voxel_map.pack_key(
+        voxel_map.voxel_of(g.points, cfg.map.voxel_size)
+    )
+    new_map = voxel_map.insert_grouped(state.map, g_corr, cfg.map, keys=pre_keys)
     new_map = voxel_map.evict_far(new_map, new_pose[:3, 3], cfg.map)
 
     # 9. pose bookkeeping (icp.cpp:82)

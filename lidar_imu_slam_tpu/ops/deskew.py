@@ -66,7 +66,8 @@ def constant_velocity_deskew_fast(
 
     p = points.astype(jnp.float32)
     kxp = jnp.cross(jnp.broadcast_to(k, p.shape), p)
-    kdp = p @ k
+    # elementwise dot: `p @ k` would run at bf16 MXU precision (lie.rotate_points)
+    kdp = p[:, 0] * k[0] + p[:, 1] * k[1] + p[:, 2] * k[2]
     rot = p * c[:, None] + kxp * si[:, None] + k[None, :] * (kdp * (1.0 - c))[:, None]
 
     wxv = jnp.cross(w, v)
