@@ -60,7 +60,9 @@ def main():
         lidar=cfgmod.LidarConfig(
             num_scan_lines=64, max_points=points_per_scan, min_range=2.5, max_range=80.0
         ),
-        map=cfgmod.MapConfig(voxel_size=1.0, max_range=80.0, capacity=1 << 17),
+        map=cfgmod.MapConfig(
+            voxel_size=1.0, max_range=80.0, capacity=1 << 17, neighborhood=8
+        ),
         # KITTI-realistic budgets: KISS-ICP's 1.5 m source downsample yields
         # ~2-4k points on HDL-64E frames
         icp=cfgmod.IcpConfig(max_map_points=32768, max_source_points=4096),
@@ -80,7 +82,10 @@ def main():
     single = (n_scans - 2) / (time.perf_counter() - t0)
 
     # --- multi-stream (vmap) -----------------------------------------------
-    states = parallel.streams.init_batched_state(cfg, n_streams)
+    # fixed-unroll ICP schedule: a vmapped while_loop runs every stream to
+    # the slowest stream's iteration count (negative scaling in round 1)
+    bcfg = parallel.streams.batch_config(cfg)
+    states = parallel.streams.init_batched_state(bcfg, n_streams)
 
     def batch_scan(i):
         # distinct scans per stream (staggered, clamped): wrapping would
@@ -95,13 +100,13 @@ def main():
     bscans = [batch_scan(i) for i in range(n_scans)]
     for i in range(2):
         states, outs = parallel.streams.batched_register_frame_jit(
-            states, bscans[i], cfg
+            states, bscans[i], bcfg
         )
     np.asarray(outs.pose)
     t0 = time.perf_counter()
     for i in range(2, n_scans):
         states, outs = parallel.streams.batched_register_frame_jit(
-            states, bscans[i], cfg
+            states, bscans[i], bcfg
         )
     np.asarray(outs.pose)  # true host sync
     batched = n_streams * (n_scans - 2) / (time.perf_counter() - t0)

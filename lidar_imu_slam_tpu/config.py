@@ -59,8 +59,16 @@ class MapConfig:
     max_probes: int = 32  # legacy (v1 scalar-probe bound); v2 uses a fixed
     # 16-slot bounded window — field kept for config compatibility
     # NN candidate neighborhood: 27 = full 3x3x3 shell (reference-faithful
-    # superset), 8 = the 2x2x2 block covering +-half a voxel (fast mode,
-    # ~3x fewer candidate gathers; documented deviation)
+    # superset, robust default), 8 = the 2x2x2 block covering +-half a voxel
+    # (~3x fewer candidate gathers; documented deviation). At HDL-64E bench
+    # scale 8 measured BOTH faster (10.8 vs 13 ms/step) and more accurate
+    # (ATE 0.008 vs 0.015) — the wider shell admits distant low-quality
+    # correspondences the robust kernel then has to fight. BUT 8 cannot
+    # recover when the motion-model guess error exceeds half a voxel (the
+    # fetch misses every candidate -> correspondence starvation -> coast),
+    # so the semantic default stays 27; the perf configs (kitti_64beam,
+    # livox_dense, bench.py) select 8 where inter-scan motion fits the
+    # margin.
     neighborhood: int = 27
 
 
@@ -88,6 +96,13 @@ class IcpConfig:
     # (map insert @0.5*voxel, ICP source @1.5*voxel; reference icp.cpp:126-135)
     max_map_points: int = 32768  # downsample fed to the map
     max_source_points: int = 8192  # ICP source after second downsample + IQR
+    # fixed-unroll ICP schedule for BATCHED (vmap) execution: >0 replaces the
+    # data-dependent while loop with `batch_unroll_outer` candidate fetches x
+    # `batch_unroll_inner` GN iterations and early-exit masking (a vmapped
+    # while_loop runs every stream to the slowest stream's count). 0 = use
+    # the while loop (single-stream default).
+    batch_unroll_outer: int = 0
+    batch_unroll_inner: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -162,8 +177,10 @@ def kitti_64beam() -> PipelineConfig:
     return PipelineConfig(
         lidar=LidarConfig(num_scan_lines=64, max_points=131072, min_range=2.5),
         # HDL-64E urban maps hold 60-100k live voxels at 1 m; keep the hash
-        # load factor under ~0.4 for the wide-window probe
-        map=MapConfig(capacity=1 << 18),
+        # load factor under ~0.4 for the wide-window probe. neighborhood=8:
+        # at 1 m voxels the half-voxel recovery margin (0.5 m) covers KITTI
+        # CV-prediction error; measured faster AND more accurate (MapConfig).
+        map=MapConfig(capacity=1 << 18, neighborhood=8),
         icp=IcpConfig(deskew=True),
     )
 
@@ -172,7 +189,7 @@ def livox_dense() -> PipelineConfig:
     """Config for dense solid-state scans, 200k+ pts (BASELINE.json config 4)."""
     return PipelineConfig(
         lidar=LidarConfig(num_scan_lines=6, max_points=262144),
-        map=MapConfig(capacity=1 << 18),
+        map=MapConfig(capacity=1 << 18, neighborhood=8),
         icp=IcpConfig(max_map_points=65536, max_source_points=16384),
     )
 

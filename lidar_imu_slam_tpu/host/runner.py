@@ -93,8 +93,17 @@ class OdometryRunner:
                 map=voxel_map.rebuild(self.state.map, self.cfg.map)
             )
 
-    def run(self, scan_msgs: Iterable[dict], progress: Optional[Callable] = None):
-        """Double-buffered loop: prefetch scan k+1 while scan k computes."""
+    def run(self, scan_msgs: Iterable[dict], progress: Optional[Callable] = None,
+            sync_every: int = 0):
+        """Double-buffered loop: prefetch scan k+1 while scan k computes.
+
+        Device outputs are collected WITHOUT a per-step host sync — a host
+        round-trip through the axon tunnel costs ~45 ms, 4x the step itself —
+        and fetched in one pass at the end. `sync_every=N` forces a host
+        sync every N scans (true per-scan latency numbers, checkpointing
+        consistency); `progress` callbacks receive the device-side output
+        pytree (fetch in the callback only if needed).
+        """
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         it = iter(scan_msgs)
         try:
@@ -102,6 +111,8 @@ class OdometryRunner:
         except StopIteration:
             return self
         i = 0
+        dev_outs: list = []
+        stamps: list = []
         while nxt is not None:
             scan = nxt.result()
             try:
@@ -113,22 +124,19 @@ class OdometryRunner:
                 self.state, out = kiss_icp.register_frame_jit(
                     self.state, seg, self.cfg
                 )
-            np.asarray(out.pose)  # host sync (block_until_ready is unreliable
-            # through the axon tunnel)
+            if sync_every and (i + 1) % sync_every == 0:
+                np.asarray(out.pose)  # host sync (block_until_ready is
+                # unreliable through the axon tunnel)
             dt = time.perf_counter() - t0
             if i > 0:
                 self.timer.record(dt)
-            self.poses.append(np.asarray(out.pose))
-            self.stamps.append(float(scan.t_begin))
-            self.metrics.append(
-                i,
-                icp_iterations=out.icp_iterations,
-                num_correspondences=out.num_correspondences,
-                residual_rms=out.residual_rms,
-                sigma=out.sigma,
-                map_voxels=out.map_voxels,
-                step_seconds=dt,
+            # keep only the scalar outputs + pose on device (the point-cloud
+            # fields would pin ~400 KB/scan of HBM over a long sequence)
+            dev_outs.append(
+                (out.pose, out.icp_iterations, out.num_correspondences,
+                 out.residual_rms, out.sigma, out.map_voxels)
             )
+            stamps.append(scan.t_begin)
             if (
                 self.checkpoint_dir
                 and self.checkpoint_every
@@ -140,6 +148,17 @@ class OdometryRunner:
             self._maybe_rebuild(i)
             i += 1
         pool.shutdown()
+        for i, (pose, iters, ncorr, rms, sigma, nvox) in enumerate(dev_outs):
+            self.poses.append(np.asarray(pose))
+            self.stamps.append(float(stamps[i]))
+            self.metrics.append(
+                i,
+                icp_iterations=iters,
+                num_correspondences=ncorr,
+                residual_rms=rms,
+                sigma=sigma,
+                map_voxels=nvox,
+            )
         return self
 
     def write_trajectory(self, path: str, fmt: str = "tum") -> None:
@@ -155,49 +174,124 @@ class OdometryRunner:
 
 
 class LioRunner(OdometryRunner):
-    """Drives the full LiDAR-inertial pipeline: scans + per-scan IMU packets."""
+    """Drives the full LiDAR-inertial pipeline: scans + per-scan IMU packets.
+
+    First-class runner (round-2): same prefetch double-buffering, orbax
+    checkpointing, map-rebuild maintenance and no-per-step-sync collection
+    as `OdometryRunner.run`, plus the reference's host stream hygiene
+    (lidar-imu time-offset latch, loop-back resets, IMU rate warning) via
+    `stream_sync.StreamSynchronizer`.
+    """
 
     def __init__(self, cfg: PipelineConfig, **kw):
         super().__init__(cfg, **kw)
         self.state = lio.init_state(cfg)
 
-    def run_lio(self, scan_msgs: Iterable[dict], imu_stream, progress=None):
-        """`imu_stream`: array-like of (t, gx, gy, gz, ax, ay, az) sorted by t.
-        Samples are bucketed to the scan that covers them (reference buffers
-        per scan segment, src/odom_run.hpp + sync_frame.hpp)."""
+    def _maybe_rebuild(self, scan_index: int) -> None:
+        if scan_index % 64 != 0 or scan_index == 0:
+            return
+        from ..ops import voxel_map
+
+        if int(self.state.odo.map.tombstones) > self.cfg.map.capacity // 8:
+            odo = self.state.odo._replace(
+                map=voxel_map.rebuild(self.state.odo.map, self.cfg.map)
+            )
+            self.state = self.state._replace(odo=odo)
+
+    @staticmethod
+    def _host_t_end(msg: dict) -> float:
+        """Scan end time from the raw message (host side — reading the
+        device Scan's t_end would force a ~45 ms tunnel round-trip)."""
+        t = msg.get("time")
+        stamp = float(msg.get("stamp", 0.0))
+        if t is not None and len(t):
+            tmax = float(np.max(t))
+            return tmax if tmax > stamp else stamp + tmax
+        return stamp
+
+    def run_lio(self, scan_msgs: Iterable[dict], imu_stream, progress=None,
+                sync_every: int = 0):
+        """`imu_stream`: array-like of (t, gx, gy, gz, ax, ay, az) rows in
+        arrival order. Samples are pushed through the stream synchronizer
+        (offset shift + loop-back resets) and bucketed to the scan that
+        covers them (reference buffers per scan segment, src/odom_run.hpp +
+        sync_frame.hpp)."""
+        from .stream_sync import StreamSynchronizer
+
         imu = np.asarray(imu_stream, np.float64)
+        sync = StreamSynchronizer(self.cfg.imu)
         cursor = 0
-        for i, msg in enumerate(scan_msgs):
-            scan = self._pack(msg)
-            t_end = float(scan.t_end)
-            take = []
-            while cursor < len(imu) and imu[cursor, 0] <= t_end:
-                take.append(imu[cursor])
+        cap = self.cfg.imu.max_samples_per_scan
+
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        it = iter(scan_msgs)
+
+        def fetch_next():
+            try:
+                msg = next(it)
+            except StopIteration:
+                return None
+            return (pool.submit(self._pack, msg), self._host_t_end(msg),
+                    float(msg.get("stamp", 0.0)))
+
+        nxt = fetch_next()
+        i = 0
+        dev_outs: list = []
+        stamps: list = []
+        while nxt is not None:
+            fut, t_end, stamp = nxt
+            scan = fut.result()
+            nxt = fetch_next()
+
+            # reference odom_run.cpp imu_callback arrival emulation: make at
+            # least one IMU sample visible before the offset latch fires
+            if not sync.offset_set and cursor < len(imu):
+                sync.push_imu(imu[cursor, 0], imu[cursor, 1:4], imu[cursor, 4:7])
                 cursor += 1
-            take = np.asarray(take) if take else np.zeros((0, 7))
-            cap = self.cfg.imu.max_samples_per_scan
-            if len(take) > cap:
-                take = take[-cap:]
+            sync.push_scan(stamp)
+            while (
+                cursor < len(imu)
+                and imu[cursor, 0] - sync.time_offset <= t_end
+            ):
+                sync.push_imu(imu[cursor, 0], imu[cursor, 1:4], imu[cursor, 4:7])
+                cursor += 1
+            take = sync.take_until(t_end, cap)
             packet = lio.pack_imu_packet(
                 take[:, 0], take[:, 1:4], take[:, 4:7], cap
             )
+
             t0 = time.perf_counter()
             self.state, out = lio.step_jit(self.state, scan, packet, self.cfg)
-            np.asarray(out.pose)  # host sync
+            if sync_every and (i + 1) % sync_every == 0:
+                np.asarray(out.pose)
             dt = time.perf_counter() - t0
             if i > 0:
                 self.timer.record(dt)
-            self.poses.append(np.asarray(out.pose))
-            self.stamps.append(float(scan.t_begin))
-            self.metrics.append(
-                i,
-                icp_iterations=out.icp_iterations,
-                num_correspondences=out.num_correspondences,
-                sigma=out.sigma,
-                imu_initialized=out.imu_initialized,
-                used_imu=out.used_imu,
-                step_seconds=dt,
+            dev_outs.append(
+                (out.pose, out.icp_iterations, out.num_correspondences,
+                 out.sigma, out.imu_initialized, out.used_imu)
             )
+            stamps.append(scan.t_begin)
+            if (
+                self.checkpoint_dir
+                and self.checkpoint_every
+                and (i + 1) % self.checkpoint_every == 0
+            ):
+                checkpoint_save(self.checkpoint_dir, self.state, i + 1)
             if progress:
                 progress(i, out)
+            self._maybe_rebuild(i)
+            i += 1
+        pool.shutdown()
+        for i, (pose, iters, ncorr, sigma, ini, used) in enumerate(dev_outs):
+            self.poses.append(np.asarray(pose))
+            self.stamps.append(float(stamps[i]))
+            self.metrics.append(
+                i,
+                icp_iterations=iters,
+                num_correspondences=ncorr,
+                sigma=sigma,
+                imu_initialized=ini,
+                used_imu=used,
+            )
         return self

@@ -162,20 +162,38 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
     )
 
     # 6. robust GN-ICP (max_corr = 3 sigma, kernel = sigma/3; icp.cpp:74-76)
-    #    on world-frame source from identity
-    result = icp_ops.icp_registration(
-        state.map,
-        source,
-        source_mask,
-        jnp.eye(4, dtype=jnp.float64),
-        3.0 * sigma,
-        sigma / 3.0,
-        cfg.map,
-        cfg.icp.max_iterations,
-        cfg.icp.estimation_threshold,
-        cfg.icp.min_correspondences,
-        cfg.icp.max_step_norm,
-    )
+    #    on world-frame source from identity. Batched configs select the
+    #    fixed-unroll schedule (cfg.icp.batch_unroll_*) instead of the
+    #    data-dependent while loop.
+    if cfg.icp.batch_unroll_outer > 0:
+        result = icp_ops.icp_registration_unrolled(
+            state.map,
+            source,
+            source_mask,
+            jnp.eye(4, dtype=jnp.float64),
+            3.0 * sigma,
+            sigma / 3.0,
+            cfg.map,
+            cfg.icp.batch_unroll_outer,
+            cfg.icp.batch_unroll_inner,
+            cfg.icp.estimation_threshold,
+            cfg.icp.min_correspondences,
+            cfg.icp.max_step_norm,
+        )
+    else:
+        result = icp_ops.icp_registration(
+            state.map,
+            source,
+            source_mask,
+            jnp.eye(4, dtype=jnp.float64),
+            3.0 * sigma,
+            sigma / 3.0,
+            cfg.map,
+            cfg.icp.max_iterations,
+            cfg.icp.estimation_threshold,
+            cfg.icp.min_correspondences,
+            cfg.icp.max_step_norm,
+        )
     pose_icp = result.pose @ init_guess
     # scan-level divergence gate: a wild registration would poison the map
     # and compound through the constant-velocity prediction

@@ -87,12 +87,21 @@ def _registration(state: LioState, source, source_mask, init_guess, cfg: Pipelin
         state.odo.threshold, moved, cfg.icp.initial_threshold,
         cfg.icp.min_motion_th, cfg.map.max_range,
     )
-    result = icp_ops.icp_registration(
-        state.odo.map, source, source_mask, init_guess,
-        3.0 * sigma, sigma / 3.0, cfg.map,
-        cfg.icp.max_iterations, cfg.icp.estimation_threshold,
-        cfg.icp.min_correspondences, cfg.icp.max_step_norm,
-    )
+    if cfg.icp.batch_unroll_outer > 0:
+        result = icp_ops.icp_registration_unrolled(
+            state.odo.map, source, source_mask, init_guess,
+            3.0 * sigma, sigma / 3.0, cfg.map,
+            cfg.icp.batch_unroll_outer, cfg.icp.batch_unroll_inner,
+            cfg.icp.estimation_threshold,
+            cfg.icp.min_correspondences, cfg.icp.max_step_norm,
+        )
+    else:
+        result = icp_ops.icp_registration(
+            state.odo.map, source, source_mask, init_guess,
+            3.0 * sigma, sigma / 3.0, cfg.map,
+            cfg.icp.max_iterations, cfg.icp.estimation_threshold,
+            cfg.icp.min_correspondences, cfg.icp.max_step_norm,
+        )
     model_dev = lie.transform_inverse(init_guess) @ result.pose
     diverged = jnp.linalg.norm(model_dev[:3, 3]) > cfg.icp.max_model_deviation
     result = result._replace(

@@ -29,13 +29,46 @@ def robust_weight(res_sq: jnp.ndarray, th) -> jnp.ndarray:
     return (th * th) / jnp.square(th + res_sq)
 
 
+def chol6_solve(A, b):
+    """Solve the SPD 6x6 system A x = b via a fully UNROLLED Cholesky.
+
+    jnp.linalg.cholesky + cho_solve lower to XLA while-loops on TPU (blocked
+    column algorithm + row-substitution loops): profiled at ~0.5 ms per call
+    from loop-iteration sync overhead alone. Unrolling the 6x6 factorization
+    and both substitutions into static scalar ops removes every loop — the
+    whole solve becomes one fused scalar chain.
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = A[j, j] - sum((L[j][k] * L[j][k] for k in range(j)), jnp.float64(0.0))
+        L[j][j] = jnp.sqrt(d)
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[i, j] - sum((L[i][k] * L[j][k] for k in range(j)), jnp.float64(0.0))
+            L[i][j] = s * inv_d
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        y[i] = (b[i] - sum((L[i][k] * y[k] for k in range(i)), jnp.float64(0.0))) / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        x[i] = (
+            y[i] - sum((L[k][i] * x[k] for k in range(i + 1, n)), jnp.float64(0.0))
+        ) / L[i][i]
+    return jnp.stack(x)
+
+
 def align_clouds(src, tgt, corr_mask, kernel_th):
     """One Gauss-Newton step: weighted point-to-point normal equations.
 
-    src/tgt: (N, 3); corr_mask selects valid correspondences. Returns the
-    (4, 4) f64 SE(3) increment exp(solve(JtWJ, -JtWr)) (reference
-    registration.cpp:43-92). Accumulation is f64: the reference is all-f64
-    Eigen and world coordinates are large.
+    src/tgt: (N, 3); corr_mask selects valid correspondences. Returns
+    (T (4,4) f64, xi (6,) f64): the SE(3) increment exp(solve(JtWJ, -JtWr))
+    and its twist (reference registration.cpp:43-92) — callers need the
+    step norm, and log(exp(x)) == x, so the twist is returned instead of
+    recomputed. Accumulation is f64: the reference is all-f64 Eigen and
+    world coordinates are large.
     """
     s = src.astype(jnp.float64)
     r = s - tgt.astype(jnp.float64)
@@ -59,14 +92,14 @@ def align_clouds(src, tgt, corr_mask, kernel_th):
     bottom = jnp.sum(jnp.cross(ws, r), axis=0)  # sum w (s x r)
     JtWr = jnp.concatenate([top, bottom])
 
-    # SPD system: Cholesky solve (f64 LU is unsupported by the TPU compiler;
-    # the reference's LDLT on an SPD matrix is numerically equivalent).
+    # SPD system: unrolled Cholesky solve (f64 LU is unsupported by the TPU
+    # compiler; the reference's LDLT on an SPD matrix is numerically
+    # equivalent).
     ridge = 1e-9 * (1.0 + jnp.max(jnp.abs(jnp.diagonal(JtWJ))))
-    L = jnp.linalg.cholesky(JtWJ + ridge * jnp.eye(6, dtype=jnp.float64))
-    x = jax.scipy.linalg.cho_solve((L, True), -JtWr)
+    x = chol6_solve(JtWJ + ridge * jnp.eye(6, dtype=jnp.float64), -JtWr)
     x = jnp.where(sw > 0, x, jnp.zeros_like(x))
     x = jnp.where(jnp.isfinite(x), x, 0.0)
-    return lie.se3_exp(x)
+    return lie.se3_exp(x), x
 
 
 class IcpResult(NamedTuple):
@@ -134,12 +167,11 @@ def icp_registration(
                 cand, cand_valid, world.astype(jnp.float32), mask
             )
             corr = found & (d2 < max_d2)
-            estimate = align_clouds(world, nn, corr, kernel_th)
+            estimate, xi = align_clouds(world, nn, corr, kernel_th)
             n_corr = jnp.sum(corr, dtype=jnp.int32)
             # degraded-mode guards (no reference equivalent — its LDLT on a
             # near-singular system teleports the pose): freeze on starved
             # correspondences, clamp runaway steps
-            xi = lie.se3_log(estimate)
             step = jnp.linalg.norm(xi)
             scale = jnp.where(
                 step > map_cfg_max_step, map_cfg_max_step / step, 1.0
@@ -193,6 +225,83 @@ def icp_registration(
     empty = voxel_map.num_voxels(m) == 0
     pose = jnp.where(empty, init_guess, T_icp @ init_guess)
     return IcpResult(pose, j, n_corr, rms)
+
+
+def icp_registration_unrolled(
+    m: voxel_map.VoxelMap,
+    points,  # (N, 3) f32 sensor-frame source
+    mask,  # (N,) bool
+    init_guess,  # (4, 4) f64
+    max_corresp_dist,
+    kernel_th,
+    map_cfg: MapConfig,
+    n_outer: int,
+    n_inner: int,
+    estimation_threshold: float,
+    min_correspondences: int = 20,
+    max_step_norm: float = 2.0,
+) -> IcpResult:
+    """Fixed-unroll GN-ICP for batched (vmap) execution.
+
+    A vmapped `lax.while_loop` runs EVERY stream to the max iteration count
+    across the batch (SURVEY §7 hard part 3): one hard scan stalls all
+    streams, and under vmap the data-dependent loop also blocks XLA from
+    pipelining across iterations. Here the schedule is static — `n_outer`
+    candidate fetches x `n_inner` GN iterations, the same math per iteration
+    as `icp_registration` — so the batched program has no data-dependent
+    control flow at all. Converged streams freeze their pose via masking
+    (early-exit masking); the wasted masked iterations are the price of a
+    bounded, batch-friendly schedule.
+    """
+    max_d2 = max_corresp_dist * max_corresp_dist
+    pts64 = points.astype(jnp.float64)
+    eye = jnp.eye(4, dtype=jnp.float64)
+
+    T_icp = eye
+    converged = jnp.asarray(False)
+    n_corr = jnp.int32(0)
+    rms = jnp.float64(0.0)
+    iters = jnp.int32(0)
+
+    for _ in range(n_outer):
+        T = T_icp @ init_guess
+        world_f = lie.transform_points(T, pts64).astype(jnp.float32)
+        cand, cand_valid = voxel_map.gather_candidates(m, world_f, mask, map_cfg)
+        for _ in range(n_inner):
+            T = T_icp @ init_guess
+            world = lie.transform_points(T, pts64)
+            nn, d2, found = voxel_map.nn_from_candidates(
+                cand, cand_valid, world.astype(jnp.float32), mask
+            )
+            corr = found & (d2 < max_d2)
+            estimate, xi = align_clouds(world, nn, corr, kernel_th)
+            nc = jnp.sum(corr, dtype=jnp.int32)
+            step = jnp.linalg.norm(xi)
+            scale = jnp.where(step > max_step_norm, max_step_norm / step, 1.0)
+            ok = nc >= min_correspondences
+            estimate = jnp.where(
+                ok,
+                jnp.where(scale < 1.0, lie.se3_exp(xi * scale), estimate),
+                eye,
+            )
+            active = ~converged
+            T_icp = jnp.where(active, estimate @ T_icp, T_icp)
+            n_corr = jnp.where(active, nc, n_corr)
+            rms = jnp.where(
+                active,
+                jnp.sqrt(
+                    jnp.sum(jnp.where(corr, d2, 0.0)) / jnp.maximum(nc, 1)
+                ).astype(jnp.float64),
+                rms,
+            )
+            iters = iters + active.astype(jnp.int32)
+            converged = converged | (~ok) | (
+                jnp.minimum(step, max_step_norm) < estimation_threshold
+            )
+
+    empty = voxel_map.num_voxels(m) == 0
+    pose = jnp.where(empty, init_guess, T_icp @ init_guess)
+    return IcpResult(pose, iters, n_corr, rms)
 
 
 # ---------------------------------------------------------------------------

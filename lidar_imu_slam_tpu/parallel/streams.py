@@ -18,6 +18,19 @@ from ..models import kiss_icp
 from ..ops.preprocess import Scan
 
 
+def batch_config(cfg: PipelineConfig, outer: int = 2, inner: int = 4) -> PipelineConfig:
+    """Config for batched streams: fixed-unroll ICP (outer fetches x inner
+    GN iterations, early-exit masking) instead of the while loop — a vmapped
+    while_loop runs every stream to the slowest stream's iteration count."""
+    import dataclasses
+
+    return cfg.replace(
+        icp=dataclasses.replace(
+            cfg.icp, batch_unroll_outer=outer, batch_unroll_inner=inner
+        )
+    )
+
+
 def init_batched_state(cfg: PipelineConfig, num_streams: int) -> kiss_icp.KissState:
     """Replicate a fresh KissState across a leading stream axis."""
     s = kiss_icp.init_state(cfg)

@@ -21,7 +21,7 @@ def _map_from(points):
 class TestAlignClouds:
     def test_identity_when_aligned(self):
         pts = jnp.asarray(RNG.uniform(-10, 10, (200, 3)))
-        T = icp.align_clouds(pts, pts, jnp.ones(200, bool), 1.0)
+        T, _ = icp.align_clouds(pts, pts, jnp.ones(200, bool), 1.0)
         np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-9)
 
     def test_recovers_small_transform(self):
@@ -30,7 +30,7 @@ class TestAlignClouds:
         T_true = np.asarray(lie.se3_exp(jnp.asarray(xi)))
         moved = src_true @ T_true[:3, :3].T + T_true[:3, 3]
         # align moved -> src_true: one GN step of point-to-point
-        T = icp.align_clouds(
+        T, _ = icp.align_clouds(
             jnp.asarray(moved), jnp.asarray(src_true), jnp.ones(500, bool), 2.0
         )
         # estimate should move points back: T ~ T_true^-1 (small-angle)
@@ -39,7 +39,7 @@ class TestAlignClouds:
 
     def test_no_correspondences_identity(self):
         pts = jnp.asarray(RNG.uniform(-10, 10, (50, 3)))
-        T = icp.align_clouds(pts, pts, jnp.zeros(50, bool), 1.0)
+        T, _ = icp.align_clouds(pts, pts, jnp.zeros(50, bool), 1.0)
         np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-12)
 
 
@@ -145,7 +145,7 @@ class TestPartialCorrespondence:
         # half the lanes have no correspondence: inf target, mask False
         corr = jnp.arange(256) % 2 == 0
         tgt = jnp.where(corr[:, None], tgt, jnp.inf)
-        est = icp_ops.align_clouds(src, tgt, corr, 1.0)
+        est, _ = icp_ops.align_clouds(src, tgt, corr, 1.0)
         xi = np.asarray(lie.se3_log(est))
         assert np.isfinite(xi).all()
         # must actually move toward the shift, not return identity

@@ -33,7 +33,11 @@ def drive():
         lidar=cfgmod.LidarConfig(
             num_scan_lines=16, max_points=4096, min_range=1.0, max_range=40.0
         ),
-        map=cfgmod.MapConfig(voxel_size=1.0, max_range=40.0, capacity=1 << 14),
+        # neighborhood pinned to the reference-superset 27-shell: the oracle
+        # models the 3x3x3 search
+        map=cfgmod.MapConfig(
+            voxel_size=1.0, max_range=40.0, capacity=1 << 14, neighborhood=27
+        ),
         icp=cfgmod.IcpConfig(
             deskew=False,
             # caps sized so neither downsample truncates (truncation order is

@@ -11,7 +11,10 @@ import numpy as np
 from lidar_imu_slam_tpu.config import MapConfig
 from lidar_imu_slam_tpu.ops import voxel_map as vm
 
-CFG = MapConfig(voxel_size=1.0, max_points_per_voxel=10, max_range=100.0, capacity=1 << 12)
+# neighborhood=27: these tests mirror the reference hash_map_test's full
+# 3x3x3 search semantics (incl. the sqrt(3) diagonal case)
+CFG = MapConfig(voxel_size=1.0, max_points_per_voxel=10, max_range=100.0,
+                capacity=1 << 12, neighborhood=27)
 
 
 def _insert(m, pts, cfg=CFG):

@@ -107,7 +107,7 @@ def main():
 
     nn, d2, found = nn_red(cand, cand_valid, world_pts, source_mask)
     corr = found & (d2 < 4.0)
-    align = jax.jit(lambda w, nnp, c: icp_ops.align_clouds(w.astype(jnp.float64), nnp, c, 0.5))
+    align = jax.jit(lambda w, nnp, c: icp_ops.align_clouds(w.astype(jnp.float64), nnp, c, 0.5)[0])
     timeit("align_clouds (1 GN solve)", align, world_pts, nn, corr, n=n_iters)
 
     icp_full = jax.jit(
