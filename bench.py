@@ -72,11 +72,11 @@ def main():
     # --- single stream -----------------------------------------------------
     state = kiss_icp.init_state(cfg)
     for i in range(2):  # warmup: compile + map fill-in
-        state, out = kiss_icp.register_frame_jit(state, scans[i], cfg)
+        state, out = kiss_icp.register_frame_step(state, scans[i], cfg)
     np.asarray(out.pose)
     t0 = time.perf_counter()
     for i in range(2, n_scans):
-        state, out = kiss_icp.register_frame_jit(state, scans[i], cfg)
+        state, out = kiss_icp.register_frame_step(state, scans[i], cfg)
     np.asarray(out.pose)  # true host sync (block_until_ready does not
     # synchronize through the axon tunnel)
     single = (n_scans - 2) / (time.perf_counter() - t0)
@@ -99,13 +99,13 @@ def main():
 
     bscans = [batch_scan(i) for i in range(n_scans)]
     for i in range(2):
-        states, outs = parallel.streams.batched_register_frame_jit(
+        states, outs = parallel.streams.batched_register_frame_step(
             states, bscans[i], bcfg
         )
     np.asarray(outs.pose)
     t0 = time.perf_counter()
     for i in range(2, n_scans):
-        states, outs = parallel.streams.batched_register_frame_jit(
+        states, outs = parallel.streams.batched_register_frame_step(
             states, bscans[i], bcfg
         )
     np.asarray(outs.pose)  # true host sync

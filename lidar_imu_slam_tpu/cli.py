@@ -34,6 +34,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--max-scans", type=int, default=0)
+    p.add_argument(
+        "--save-clouds", default=None, metavar="DIR",
+        help="write per-scan deskewed/keypoint clouds + the final map as "
+        "PLY (the reference's frame/keypoints/local_map topics, "
+        "odom_run.cpp:187-238)",
+    )
+    p.add_argument(
+        "--save-clouds-every", type=int, default=10,
+        help="scan stride for --save-clouds (each export costs a host sync)",
+    )
+    p.add_argument(
+        "--loop-closure", action="store_true",
+        help="enable the online keyframe backend (loop closure + pose-graph "
+        "optimization); writes <out>.optimized alongside the raw trajectory",
+    )
     return p
 
 
@@ -119,6 +134,12 @@ def _synthetic_scans(args, cfg):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = _load_config(args)
+    if args.loop_closure:
+        import dataclasses
+
+        cfg = cfg.replace(
+            backend=dataclasses.replace(cfg.backend, enabled=True)
+        )
 
     from .host.runner import LioRunner, OdometryRunner
 
@@ -140,6 +161,18 @@ def main(argv=None) -> int:
                 f"iters={int(out.icp_iterations):3d}",
                 file=sys.stderr,
             )
+        if args.save_clouds and i % max(args.save_clouds_every, 1) == 0:
+            from .utils import cloud_io
+
+            d = np.asarray(out.deskewed)[np.asarray(out.deskewed_mask)]
+            cloud_io.write_ply(
+                f"{args.save_clouds}/frame_{i:06d}.ply", d
+            )
+            if hasattr(out, "keypoints"):
+                k = np.asarray(out.keypoints)[np.asarray(out.keypoints_mask)]
+                cloud_io.write_ply(
+                    f"{args.save_clouds}/keypoints_{i:06d}.ply", k
+                )
 
     if args.lio and imu is not None and len(imu):
         runner = LioRunner(cfg, checkpoint_dir=args.checkpoint_dir,
@@ -155,6 +188,21 @@ def main(argv=None) -> int:
     runner.write_trajectory(args.out, fmt=args.format)
     if args.metrics_out:
         runner.metrics.dump_jsonl(args.metrics_out)
+    if args.save_clouds:
+        from .utils import cloud_io
+
+        map_state = (
+            runner.state.map if hasattr(runner.state, "map")
+            else runner.state.odo.map
+        )
+        cloud_io.export_map_ply(
+            f"{args.save_clouds}/local_map.ply", map_state, cfg.map
+        )
+    if args.loop_closure and runner.backend is not None:
+        from .utils import trajectory as traj_io
+
+        opt = runner.optimized_poses()
+        traj_io.write_tum(f"{args.out}.optimized", runner.stamps, list(opt))
 
     summary = {
         "scans": len(runner.poses),

@@ -158,6 +158,37 @@ class EkfConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    """Online pose-graph backend (capability the reference only promised:
+    README.md:2 loop closure + map optimization; models/backend.py).
+
+    `max_keyframes` caps the dense-assembled GN system: at 256 keyframes the
+    (1536, 1536) f64 Hessian is 18 MB and its Cholesky ~1.2 GFLOP — a few
+    tens of ms per optimization round, amortized over `optimize_every`
+    keyframes. At 2 m keyframe spacing that covers a 500 m loop; longer
+    sequences need a block-sparse/hierarchical assembly (future work,
+    documented bound).
+    """
+
+    enabled: bool = False
+    max_keyframes: int = 256
+    max_edges: int = 1024
+    keyframe_dist: float = 2.0  # m of translation since the last keyframe
+    keyframe_rot: float = 0.5  # rad
+    chunk: int = 8  # scans per host pose fetch (one tunnel round-trip each)
+    loop_radius: float = 5.0
+    min_index_gap: int = 20
+    max_candidates: int = 8
+    optimize_every: int = 8  # keyframes between optimization rounds
+    verify_max_corresp: float = 1.0
+    verify_max_residual: float = 0.3
+    verify_min_correspondences: int = 50
+    loop_weight: float = 5.0
+    odom_weight: float = 1.0
+    lm_iterations: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     """Top-level odometry pipeline configuration."""
 
@@ -166,6 +197,7 @@ class PipelineConfig:
     icp: IcpConfig = dataclasses.field(default_factory=IcpConfig)
     imu: ImuConfig = dataclasses.field(default_factory=ImuConfig)
     ekf: EkfConfig = dataclasses.field(default_factory=EkfConfig)
+    backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
     min_scan_count: int = 20  # frame-split warmup gate (reference frame.cpp:5)
 
     def replace(self, **kw) -> "PipelineConfig":

@@ -1,0 +1,185 @@
+"""Online keyframe backend: loop closure + pose-graph optimization behind
+the odometry runner.
+
+The reference promises loop closure and map optimization (reference
+README.md:2, RAD workflow figure) but ships neither; round 1 built the
+pose-graph machinery (`models/backend.py`) as an offline tool. This module
+wires it ONLINE (VERDICT round 1, next-round #6):
+
+  * keyframe selection by travelled distance / rotation against the last
+    keyframe, fed from the runner in pose chunks (one host fetch per
+    `BackendConfig.chunk` scans — a tunnel round-trip costs ~45 ms, so
+    per-scan fetches would dominate),
+  * periodic pose-graph optimization: odometry-chain edges from the RAW
+    odometry poses + persisted ICP-verified loop-closure edges,
+  * trajectory correction: every scan pose is re-anchored through its most
+    recent keyframe's optimized pose.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import PipelineConfig
+from ..models import backend as backend_mod
+
+
+class OnlineBackend:
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        b = cfg.backend
+        self.bcfg = b
+        # raw odometry keyframes (never overwritten by optimization — the
+        # odometry-chain edges must stay the original measurements)
+        self.kf_poses: list[np.ndarray] = []
+        self.kf_scan_idx: list[int] = []
+        self.kf_clouds: list[np.ndarray] = []  # sensor-frame f32 (N, 3)
+        self.kf_cloud_masks: list[np.ndarray] = []
+        # persisted verified loop edges: (i, j, T_i_j, weight)
+        self.loop_edges: list[tuple] = []
+        self._checked_pairs: set[tuple] = set()
+        self.optimized: Optional[np.ndarray] = None  # (K, 4, 4)
+        self._kf_at_last_opt = 0
+        self.num_optimizations = 0
+
+    # -- keyframe ingestion -------------------------------------------------
+
+    def observe_chunk(self, scan_indices, poses, clouds, masks) -> None:
+        """poses: (C, 4, 4) numpy chunk; clouds/masks: per-scan WORLD-frame
+        keypoint arrays (numpy or device; fetched only for selected
+        keyframes)."""
+        for k, i in enumerate(scan_indices):
+            pose = np.asarray(poses[k], np.float64)
+            if self.kf_poses:
+                rel = np.linalg.inv(self.kf_poses[-1]) @ pose
+                dist = float(np.linalg.norm(rel[:3, 3]))
+                ang = float(
+                    np.arccos(np.clip((np.trace(rel[:3, :3]) - 1.0) / 2.0, -1, 1))
+                )
+                if dist < self.bcfg.keyframe_dist and ang < self.bcfg.keyframe_rot:
+                    continue
+            if len(self.kf_poses) >= self.bcfg.max_keyframes:
+                continue  # documented cap (BackendConfig docstring)
+            cloud = np.asarray(clouds[k], np.float32)
+            mask = np.asarray(masks[k])
+            # store in the SENSOR frame: loop verification registers
+            # cloud_j against cloud_i under the relative-pose guess
+            R, t = pose[:3, :3], pose[:3, 3]
+            sensor = ((cloud.astype(np.float64) - t) @ R).astype(np.float32)
+            self.kf_poses.append(pose)
+            self.kf_scan_idx.append(int(i))
+            self.kf_clouds.append(np.where(mask[:, None], sensor, 0.0))
+            self.kf_cloud_masks.append(mask)
+        if (
+            len(self.kf_poses) - self._kf_at_last_opt >= self.bcfg.optimize_every
+            and len(self.kf_poses) >= 3
+        ):
+            self.optimize()
+
+    # -- optimization -------------------------------------------------------
+
+    def _verify_fn(self):
+        """Jitted keyframe-to-keyframe ICP (unjitted op-by-op dispatch
+        through the tunnel would cost seconds per candidate)."""
+        if getattr(self, "_verify_jit", None) is None:
+            import dataclasses
+
+            import jax
+
+            from ..ops import icp as icp_ops
+            from ..ops import voxel_map
+
+            # keyframe clouds are ~4k points: a small dedicated table
+            vcfg = dataclasses.replace(
+                self.cfg.map, capacity=1 << 13, neighborhood=27
+            )
+
+            def verify(cloud_i, mask_i, cloud_j, mask_j, guess):
+                m = voxel_map.create(vcfg)
+                m = voxel_map.insert(m, cloud_i, mask_i, vcfg)
+                return icp_ops.icp_registration(
+                    m, cloud_j, mask_j, guess,
+                    self.bcfg.verify_max_corresp,
+                    self.bcfg.verify_max_corresp / 3.0,
+                    vcfg, 30, 1e-5,
+                )
+
+            self._verify_jit = jax.jit(verify)
+        return self._verify_jit
+
+    def _verify_loops(self, g) -> None:
+        """ICP-verify proximity candidates; persist accepted edges."""
+        cand = backend_mod.find_loop_candidates(
+            g, self.bcfg.loop_radius, self.bcfg.min_index_gap,
+            self.bcfg.max_candidates,
+        )
+        mask = np.asarray(cand.mask)
+        verify = self._verify_fn()
+        for c in range(int(mask.sum())):
+            i = int(cand.idx_i[c])
+            j = int(cand.idx_j[c])
+            if (i, j) in self._checked_pairs:
+                continue
+            self._checked_pairs.add((i, j))
+            guess = np.linalg.inv(self.kf_poses[i]) @ self.kf_poses[j]
+            res = verify(
+                self.kf_clouds[i], self.kf_cloud_masks[i],
+                self.kf_clouds[j], self.kf_cloud_masks[j], guess,
+            )
+            if (
+                float(res.residual_rms) < self.bcfg.verify_max_residual
+                and int(res.num_correspondences)
+                >= self.bcfg.verify_min_correspondences
+            ):
+                self.loop_edges.append(
+                    (i, j, np.asarray(res.pose), self.bcfg.loop_weight)
+                )
+
+    def optimize(self) -> None:
+        b = self.bcfg
+        g = backend_mod.from_chain(
+            np.stack(self.kf_poses), b.max_keyframes, b.max_edges,
+            weight=b.odom_weight,
+        )
+        # candidate search runs on current best estimates
+        if self.optimized is not None:
+            gp = np.asarray(g.poses).copy()
+            gp[: len(self.optimized)] = self.optimized
+            g = g._replace(poses=backend_mod.jnp.asarray(gp))
+        self._verify_loops(g)
+        for (i, j, meas, w) in self.loop_edges:
+            g = backend_mod.add_edge(g, i, j, meas, w)
+        if self.loop_edges:
+            g = backend_mod.optimize_jit(g, iterations=b.lm_iterations)
+            self.optimized = np.asarray(g.poses)[: len(self.kf_poses)]
+        else:
+            self.optimized = np.stack(self.kf_poses)
+        self._kf_at_last_opt = len(self.kf_poses)
+        self.num_optimizations += 1
+
+    # -- trajectory correction ---------------------------------------------
+
+    def correct(self, poses: np.ndarray) -> np.ndarray:
+        """Re-anchor every scan pose through its most recent keyframe:
+        T_i' = opt[k(i)] @ raw_kf[k(i)]^-1 @ T_i."""
+        if self.optimized is None or not self.kf_poses:
+            return poses
+        out = np.array(poses, np.float64, copy=True)
+        kf_idx = np.asarray(self.kf_scan_idx)
+        for s in range(len(out)):
+            k = int(np.searchsorted(kf_idx, s, side="right")) - 1
+            if k < 0:
+                continue
+            delta = self.optimized[k] @ np.linalg.inv(self.kf_poses[k])
+            out[s] = lie_np_orthonormalize(delta @ out[s])
+        return out
+
+
+def lie_np_orthonormalize(T: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+
+    out = T.copy()
+    out[:3, :3] = Rotation.from_matrix(T[:3, :3]).as_matrix()
+    return out

@@ -58,6 +58,37 @@ class OdometryRunner:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self._pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
+        self.backend = None
+        if cfg.backend.enabled:
+            from .keyframes import OnlineBackend
+
+            self.backend = OnlineBackend(cfg)
+        self._chunk: list = []  # (scan_idx, pose, keypoints, mask) device refs
+
+    def _backend_observe(self, i: int, out, final: bool = False) -> None:
+        """Feed the online backend in chunks (one pose fetch per chunk)."""
+        if self.backend is None:
+            return
+        if out is not None:
+            self._chunk.append((i, out.pose, out.keypoints, out.keypoints_mask))
+        if self._chunk and (len(self._chunk) >= self.cfg.backend.chunk or final):
+            idxs = [c[0] for c in self._chunk]
+            poses = np.stack([np.asarray(c[1]) for c in self._chunk])
+            self.backend.observe_chunk(
+                idxs, poses, [c[2] for c in self._chunk],
+                [c[3] for c in self._chunk],
+            )
+            self._chunk = []
+        if final and self.backend.kf_poses:
+            self.backend.optimize()
+
+    def optimized_poses(self) -> np.ndarray:
+        """Loop-closure-corrected trajectory (raw odometry poses when the
+        backend is disabled or found no loops)."""
+        poses = np.stack(self.poses)
+        if self.backend is None:
+            return poses
+        return self.backend.correct(poses)
 
     def _pack(self, scan_msg: dict):
         raw = pack_raw_scan(
@@ -121,7 +152,8 @@ class OdometryRunner:
                 nxt = None
             t0 = time.perf_counter()
             for seg in self._segments(scan, i):
-                self.state, out = kiss_icp.register_frame_jit(
+                # donating step: the ~160 MB map slabs update in place
+                self.state, out = kiss_icp.register_frame_step(
                     self.state, seg, self.cfg
                 )
             if sync_every and (i + 1) % sync_every == 0:
@@ -145,9 +177,11 @@ class OdometryRunner:
                 checkpoint_save(self.checkpoint_dir, self.state, i + 1)
             if progress:
                 progress(i, out)
+            self._backend_observe(i, out)
             self._maybe_rebuild(i)
             i += 1
         pool.shutdown()
+        self._backend_observe(i, None, final=True)
         for i, (pose, iters, ncorr, rms, sigma, nvox) in enumerate(dev_outs):
             self.poses.append(np.asarray(pose))
             self.stamps.append(float(stamps[i]))
@@ -261,7 +295,7 @@ class LioRunner(OdometryRunner):
             )
 
             t0 = time.perf_counter()
-            self.state, out = lio.step_jit(self.state, scan, packet, self.cfg)
+            self.state, out = lio.step_donated(self.state, scan, packet, self.cfg)
             if sync_every and (i + 1) % sync_every == 0:
                 np.asarray(out.pose)
             dt = time.perf_counter() - t0

@@ -91,6 +91,52 @@ def add_odometry_chain(g: PoseGraph, poses, weight=1.0) -> PoseGraph:
     return g
 
 
+def from_chain(poses_np, max_keyframes: int, max_edges: int,
+               weight: float = 1.0) -> PoseGraph:
+    """Build a PoseGraph from a host-side (K, 4, 4) pose chain in one shot.
+
+    Vectorized construction: the incremental add_node/add_edge path costs
+    two device dispatches per keyframe (~1.6 ms each through the tunnel);
+    the online backend rebuilds the graph every optimization round, so it
+    assembles the arrays in numpy and uploads once.
+    """
+    import numpy as np
+
+    poses_np = np.asarray(poses_np, np.float64)
+    k = poses_np.shape[0]
+    assert 0 < k <= max_keyframes, k
+    assert k - 1 <= max_edges
+
+    poses = np.broadcast_to(np.eye(4), (max_keyframes, 4, 4)).copy()
+    poses[:k] = poses_np
+    node_mask = np.zeros(max_keyframes, bool)
+    node_mask[:k] = True
+
+    meas = np.broadcast_to(np.eye(4), (max_edges, 4, 4)).copy()
+    if k > 1:
+        inv_prev = np.linalg.inv(poses_np[:-1])
+        meas[: k - 1] = inv_prev @ poses_np[1:]
+    edge_i = np.zeros(max_edges, np.int32)
+    edge_j = np.zeros(max_edges, np.int32)
+    edge_i[: k - 1] = np.arange(k - 1)
+    edge_j[: k - 1] = np.arange(1, k)
+    edge_w = np.zeros(max_edges)
+    edge_w[: k - 1] = weight
+    edge_mask = np.zeros(max_edges, bool)
+    edge_mask[: k - 1] = True
+    return PoseGraph(
+        poses=jnp.asarray(poses),
+        node_mask=jnp.asarray(node_mask),
+        edge_i=jnp.asarray(edge_i),
+        edge_j=jnp.asarray(edge_j),
+        edge_meas=jnp.asarray(meas),
+        edge_weight=jnp.asarray(edge_w),
+        edge_mask=jnp.asarray(edge_mask),
+        num_nodes=jnp.int32(k),
+        num_edges=jnp.int32(k - 1),
+    )
+
+
 def _edge_residual(xi_i, xi_j, pose_i, pose_j, meas):
     """r = log(meas^-1 (X_i exp(xi_i))^-1 (X_j exp(xi_j))) — local twists."""
     Xi = pose_i @ lie.se3_exp(xi_i)

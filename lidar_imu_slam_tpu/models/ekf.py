@@ -104,18 +104,19 @@ def init(cfg: EkfConfig) -> EkfState:
     m = m.at[GRAV_I:GRAV_I + 3].set(jnp.array([0.0, 0.0, -GRAVITY]))
     noise_scale = cfg.noise_scale * cfg.noise_scale  # reference ekf.cpp:66
     P = _process_covariance(cfg, noise_scale)
-    z = jnp.float64(0.0)
+    # distinct buffers per field (a shared scalar would be the same device
+    # buffer donated twice through the donating step variants)
     return EkfState(
         m=m,
         P=P,
-        time=z,
-        first_sample_t=z,
+        time=jnp.float64(0.0),
+        first_sample_t=jnp.float64(0.0),
         prev_sample_t=jnp.float64(-1.0),
         first_sample=jnp.asarray(True),
         zupt_time=jnp.float64(-1.0),
         was_stationary=jnp.asarray(False),
         augment_count=jnp.int32(0),
-        last_lidar_end_time=z,
+        last_lidar_end_time=jnp.float64(0.0),
         orientation_initialized=jnp.asarray(False),
     )
 

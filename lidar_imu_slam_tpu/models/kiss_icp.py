@@ -52,12 +52,13 @@ class FrameOutput(NamedTuple):
 
 
 def init_state(cfg: PipelineConfig) -> KissState:
-    eye = jnp.eye(4, dtype=jnp.float64)
+    # distinct buffers per field: a shared `eye` array would be the same
+    # device buffer donated twice through register_frame_step
     return KissState(
         map=voxel_map.create(cfg.map),
-        pose=eye,
-        pose_prev=eye,
-        first_pose=eye,
+        pose=jnp.eye(4, dtype=jnp.float64),
+        pose_prev=jnp.eye(4, dtype=jnp.float64),
+        first_pose=jnp.eye(4, dtype=jnp.float64),
         num_poses=jnp.int32(0),
         threshold=icp_ops.threshold_init(),
     )
@@ -65,14 +66,14 @@ def init_state(cfg: PipelineConfig) -> KissState:
 
 def has_moved(state: KissState, min_motion_th: float) -> jnp.ndarray:
     """Reference icp.cpp:156-163: ||(first^-1 last).t|| > 5 * min_motion_th."""
-    rel = lie.transform_inverse(state.first_pose) @ state.pose
+    rel = lie.compose(lie.transform_inverse(state.first_pose), state.pose)
     motion = jnp.linalg.norm(rel[:3, 3])
     return (state.num_poses > 0) & (motion > 5.0 * min_motion_th)
 
 
 def get_prediction_model(state: KissState) -> jnp.ndarray:
     """T_{n-2}^-1 T_{n-1} (reference icp.cpp:146-154)."""
-    pred = lie.transform_inverse(state.pose_prev) @ state.pose
+    pred = lie.compose(lie.transform_inverse(state.pose_prev), state.pose)
     return jnp.where(state.num_poses < 2, jnp.eye(4, dtype=jnp.float64), pred)
 
 
@@ -130,7 +131,7 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
     last_pose = jnp.where(
         state.num_poses == 0, jnp.eye(4, dtype=jnp.float64), state.pose
     )
-    init_guess = last_pose @ get_prediction_model(state)
+    init_guess = lie.compose(last_pose, get_prediction_model(state))
 
     # 3. world transform (f32: ulp < 1mm out to 8km; ELEMENTWISE — a matmul
     #    here runs at bf16 MXU precision and quantizes every point, see
@@ -194,10 +195,10 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
             cfg.icp.min_correspondences,
             cfg.icp.max_step_norm,
         )
-    pose_icp = result.pose @ init_guess
+    pose_icp = lie.compose(result.pose, init_guess)
     # scan-level divergence gate: a wild registration would poison the map
     # and compound through the constant-velocity prediction
-    model_dev = lie.transform_inverse(init_guess) @ pose_icp
+    model_dev = lie.compose(lie.transform_inverse(init_guess), pose_icp)
     diverged = jnp.linalg.norm(model_dev[:3, 3]) > cfg.icp.max_model_deviation
     new_pose = lie.orthonormalize(jnp.where(diverged, init_guess, pose_icp))
     model_dev = jnp.where(diverged, jnp.eye(4, dtype=jnp.float64), model_dev)
@@ -207,7 +208,7 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
 
     # 8. map update with the grouped downsample, correcting world points by
     #    the ICP delta only (icp.cpp:81); no re-sort needed
-    delta = new_pose @ lie.transform_inverse(init_guess)
+    delta = lie.compose(new_pose, lie.transform_inverse(init_guess))
     Rd = delta[:3, :3].astype(jnp.float32)
     td = delta[:3, 3].astype(jnp.float32)
     g_corr = g._replace(points=lie.rotate_points(Rd, g.points) + td)
@@ -251,6 +252,19 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
 @partial(jax.jit, static_argnames=("cfg",))
 def register_frame_jit(state: KissState, scan: Scan, cfg: PipelineConfig):
     return register_frame(state, scan, cfg)
+
+
+# Donating variant for sequential drivers (runner/bench): the state's map
+# slabs are ~160 MB at KITTI scale and the insert/evict updates copy them
+# in full without input-output aliasing. Callers MUST NOT reuse the passed
+# state after the call.
+register_frame_step = partial(
+    jax.jit(
+        lambda state, scan, cfg: register_frame(state, scan, cfg),
+        static_argnames=("cfg",),
+        donate_argnums=(0,),
+    )
+)
 
 
 def current_velocity(state: KissState, scan_duration: float, min_motion_th: float):

@@ -246,6 +246,14 @@ def step_jit(state: LioState, scan: Scan, packet: ekf_mod.ImuPacket, cfg: Pipeli
     return step(state, scan, packet, cfg)
 
 
+# donating variant for sequential drivers (callers must not reuse `state`)
+step_donated = jax.jit(
+    lambda state, scan, packet, cfg: step(state, scan, packet, cfg),
+    static_argnames=("cfg",),
+    donate_argnums=(0,),
+)
+
+
 def pack_imu_packet(times, gyros, accs, max_samples: int) -> ekf_mod.ImuPacket:
     """Host-side helper: pad per-scan IMU arrays into a packet."""
     import numpy as np

@@ -84,8 +84,24 @@ def align_clouds(src, tgt, corr_mask, kernel_th):
     wr = w[:, None] * r
     A = sw * jnp.eye(3, dtype=jnp.float64)  # sum w * I
     B = -lie.hat(jnp.sum(ws, axis=0))  # sum w * (-hat(s))
-    ss = jnp.einsum("n,ni,nj->ij", w, s, s)
-    D = jnp.trace(ss) * jnp.eye(3, dtype=jnp.float64) - ss  # sum w (|s|^2 I - s s^T)
+    # sum_n w s s^T via 6 masked reductions (an f64 einsum/dot_general on
+    # TPU lowers to a multi-pass bf16 while loop — profiled as a large share
+    # of the GN iteration)
+    sx, sy, sz = s[:, 0], s[:, 1], s[:, 2]
+    sxx = jnp.sum(w * sx * sx)
+    syy = jnp.sum(w * sy * sy)
+    szz = jnp.sum(w * sz * sz)
+    sxy = jnp.sum(w * sx * sy)
+    sxz = jnp.sum(w * sx * sz)
+    syz = jnp.sum(w * sy * sz)
+    ss = jnp.stack(
+        [
+            jnp.stack([sxx, sxy, sxz]),
+            jnp.stack([sxy, syy, syz]),
+            jnp.stack([sxz, syz, szz]),
+        ]
+    )
+    D = (sxx + syy + szz) * jnp.eye(3, dtype=jnp.float64) - ss
     JtWJ = jnp.block([[A, B], [B.T, D]])
 
     top = jnp.sum(wr, axis=0)
@@ -99,7 +115,63 @@ def align_clouds(src, tgt, corr_mask, kernel_th):
     x = chol6_solve(JtWJ + ridge * jnp.eye(6, dtype=jnp.float64), -JtWr)
     x = jnp.where(sw > 0, x, jnp.zeros_like(x))
     x = jnp.where(jnp.isfinite(x), x, 0.0)
-    return lie.se3_exp(x), x
+    return lie.se3_exp_poly(x), x
+
+
+def _align_soa(sx, sy, sz, tx, ty, tz, corr_mask, kernel_th):
+    """`align_clouds` on structure-of-arrays operands: source and target as
+    separate (N,) f64 vectors. Avoids every (N, 3) intermediate (TPU lane-
+    pads the minor 3 to 128 — 42x the memory traffic; profiled as the bulk
+    of the GN iteration). Same math, same return (T, xi)."""
+    rx = jnp.where(corr_mask, sx - tx, 0.0)
+    ry = jnp.where(corr_mask, sy - ty, 0.0)
+    rz = jnp.where(corr_mask, sz - tz, 0.0)
+    res_sq = rx * rx + ry * ry + rz * rz
+    w = jnp.where(corr_mask, robust_weight(res_sq, kernel_th), 0.0)
+
+    wsx, wsy, wsz = w * sx, w * sy, w * sz
+    # all 16 normal-equation sums as ONE (16, N) reduction: separate
+    # jnp.sum calls become separate fusions with per-op launch overhead
+    # that dominated the iteration
+    summands = jnp.stack(
+        [
+            w,
+            wsx, wsy, wsz,
+            wsx * sx, wsy * sy, wsz * sz,
+            wsx * sy, wsx * sz, wsy * sz,
+            w * rx, w * ry, w * rz,
+            wsy * rz - wsz * ry, wsz * rx - wsx * rz, wsx * ry - wsy * rx,
+        ]
+    )
+    (sw, Sx, Sy, Sz, sxx, syy, szz, sxy, sxz, syz,
+     trx, try_, trz, bx, by, bz) = jnp.sum(summands, axis=-1)
+    A = sw * jnp.eye(3, dtype=jnp.float64)
+    B = -lie.hat(jnp.stack([Sx, Sy, Sz]))
+    ss = jnp.stack(
+        [
+            jnp.stack([sxx, sxy, sxz]),
+            jnp.stack([sxy, syy, syz]),
+            jnp.stack([sxz, syz, szz]),
+        ]
+    )
+    D = (sxx + syy + szz) * jnp.eye(3, dtype=jnp.float64) - ss
+    JtWJ = jnp.block([[A, B], [B.T, D]])
+    JtWr = jnp.stack([trx, try_, trz, bx, by, bz])
+
+    ridge = 1e-9 * (1.0 + jnp.max(jnp.abs(jnp.diagonal(JtWJ))))
+    x = chol6_solve(JtWJ + ridge * jnp.eye(6, dtype=jnp.float64), -JtWr)
+    x = jnp.where(sw > 0, x, jnp.zeros_like(x))
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
+    return lie.se3_exp_poly(x), x
+
+
+def _transform_soa(T, px, py, pz):
+    """Apply (4,4) f64 T to SoA f64 points: returns (wx, wy, wz)."""
+    R, t = T[:3, :3], T[:3, 3]
+    wx = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
+    wy = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
+    wz = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
+    return wx, wy, wz
 
 
 class IcpResult(NamedTuple):
@@ -130,7 +202,11 @@ def icp_registration(
     norm of the last increment drops below `estimation_threshold`.
     """
     max_d2 = max_corresp_dist * max_corresp_dist
-    pts64 = points.astype(jnp.float64)
+    # SoA f64 source coordinates: the loop never materializes an (N, 3)
+    # tensor (lane padding 3 -> 128 made the AoS iteration memory-bound)
+    px = points[:, 0].astype(jnp.float64)
+    py = points[:, 1].astype(jnp.float64)
+    pz = points[:, 2].astype(jnp.float64)
 
     # Candidate neighborhoods are fetched once per OUTER round — the hash
     # probes + HBM gathers dominate NN cost, while per-iteration distance
@@ -149,11 +225,17 @@ def icp_registration(
     map_cfg_max_step = max_step_norm
 
     def fetch(T):
-        world = lie.transform_points(T, pts64).astype(jnp.float32)
-        return voxel_map.gather_candidates(m, world, mask, map_cfg)
+        wx, wy, wz = _transform_soa(T, px, py, pz)
+        world = jnp.stack(
+            [wx.astype(jnp.float32), wy.astype(jnp.float32), wz.astype(jnp.float32)],
+            axis=-1,
+        )
+        cand, cand_valid = voxel_map.gather_candidates(m, world, mask, map_cfg)
+        cx, cy, cz = voxel_map.deinterleave_candidates(cand)
+        return cx, cy, cz, cand_valid
 
     def inner(carry):
-        j, T_icp, converged, n_corr, rms, cand, cand_valid, anchor_t = carry
+        j, T_icp, converged, n_corr, rms, cx, cy, cz, cand_valid, anchor_t = carry
 
         def inner_cond(state):
             j, _, converged, _, _, stale = state
@@ -161,13 +243,17 @@ def icp_registration(
 
         def inner_body(state):
             j, T_icp, _, _, _, _ = state
-            T = T_icp @ init_guess
-            world = lie.transform_points(T, pts64)
-            nn, d2, found = voxel_map.nn_from_candidates(
-                cand, cand_valid, world.astype(jnp.float32), mask
+            T = lie.compose(T_icp, init_guess)
+            wx, wy, wz = _transform_soa(T, px, py, pz)
+            tx, ty, tz, d2, found = voxel_map.nn_from_candidates_soa(
+                cx, cy, cz, cand_valid, wx.astype(jnp.float32),
+                wy.astype(jnp.float32), wz.astype(jnp.float32), mask
             )
             corr = found & (d2 < max_d2)
-            estimate, xi = align_clouds(world, nn, corr, kernel_th)
+            estimate, xi = _align_soa(
+                wx, wy, wz, tx.astype(jnp.float64), ty.astype(jnp.float64),
+                tz.astype(jnp.float64), corr, kernel_th
+            )
             n_corr = jnp.sum(corr, dtype=jnp.int32)
             # degraded-mode guards (no reference equivalent — its LDLT on a
             # near-singular system teleports the pose): freeze on starved
@@ -179,17 +265,17 @@ def icp_registration(
             ok = n_corr >= min_corr
             estimate = jnp.where(
                 ok,
-                jnp.where(scale < 1.0, lie.se3_exp(xi * scale), estimate),
+                jnp.where(scale < 1.0, lie.se3_exp_poly(xi * scale), estimate),
                 jnp.eye(4, dtype=jnp.float64),
             )
             rms = jnp.sqrt(
                 jnp.sum(jnp.where(corr, d2, 0.0)) / jnp.maximum(n_corr, 1)
             ).astype(jnp.float64)
-            T_new = estimate @ T_icp
+            T_new = lie.compose(estimate, T_icp)
             converged = (~ok) | (
                 jnp.minimum(step, map_cfg_max_step) < estimation_threshold
             )
-            drift = jnp.sum(((T_new @ init_guess)[:3, 3] - anchor_t) ** 2)
+            drift = jnp.sum(((lie.compose(T_new, init_guess))[:3, 3] - anchor_t) ** 2)
             stale = ~converged & (drift > refetch_d2)
             return j + 1, T_new, converged, n_corr, rms, stale
 
@@ -204,10 +290,10 @@ def icp_registration(
 
     def outer_body(state):
         r, j, T_icp, converged, n_corr, rms = state
-        T = T_icp @ init_guess
-        cand, cand_valid = fetch(T)
+        T = lie.compose(T_icp, init_guess)
+        cx, cy, cz, cand_valid = fetch(T)
         j, T_icp, converged, n_corr, rms = inner(
-            (j, T_icp, converged, n_corr, rms, cand, cand_valid, T[:3, 3])
+            (j, T_icp, converged, n_corr, rms, cx, cy, cz, cand_valid, T[:3, 3])
         )
         return r + 1, j, T_icp, converged, n_corr, rms
 
@@ -223,7 +309,7 @@ def icp_registration(
 
     # empty map: return the guess untouched (reference registration.cpp:99-100)
     empty = voxel_map.num_voxels(m) == 0
-    pose = jnp.where(empty, init_guess, T_icp @ init_guess)
+    pose = jnp.where(empty, init_guess, lie.compose(T_icp, init_guess))
     return IcpResult(pose, j, n_corr, rms)
 
 
@@ -254,7 +340,9 @@ def icp_registration_unrolled(
     bounded, batch-friendly schedule.
     """
     max_d2 = max_corresp_dist * max_corresp_dist
-    pts64 = points.astype(jnp.float64)
+    px = points[:, 0].astype(jnp.float64)
+    py = points[:, 1].astype(jnp.float64)
+    pz = points[:, 2].astype(jnp.float64)
     eye = jnp.eye(4, dtype=jnp.float64)
 
     T_icp = eye
@@ -264,28 +352,37 @@ def icp_registration_unrolled(
     iters = jnp.int32(0)
 
     for _ in range(n_outer):
-        T = T_icp @ init_guess
-        world_f = lie.transform_points(T, pts64).astype(jnp.float32)
+        T = lie.compose(T_icp, init_guess)
+        fx, fy, fz = _transform_soa(T, px, py, pz)
+        world_f = jnp.stack(
+            [fx.astype(jnp.float32), fy.astype(jnp.float32), fz.astype(jnp.float32)],
+            axis=-1,
+        )
         cand, cand_valid = voxel_map.gather_candidates(m, world_f, mask, map_cfg)
+        cx, cy, cz = voxel_map.deinterleave_candidates(cand)
         for _ in range(n_inner):
-            T = T_icp @ init_guess
-            world = lie.transform_points(T, pts64)
-            nn, d2, found = voxel_map.nn_from_candidates(
-                cand, cand_valid, world.astype(jnp.float32), mask
+            T = lie.compose(T_icp, init_guess)
+            wx, wy, wz = _transform_soa(T, px, py, pz)
+            tx, ty, tz, d2, found = voxel_map.nn_from_candidates_soa(
+                cx, cy, cz, cand_valid, wx.astype(jnp.float32),
+                wy.astype(jnp.float32), wz.astype(jnp.float32), mask
             )
             corr = found & (d2 < max_d2)
-            estimate, xi = align_clouds(world, nn, corr, kernel_th)
+            estimate, xi = _align_soa(
+                wx, wy, wz, tx.astype(jnp.float64), ty.astype(jnp.float64),
+                tz.astype(jnp.float64), corr, kernel_th
+            )
             nc = jnp.sum(corr, dtype=jnp.int32)
             step = jnp.linalg.norm(xi)
             scale = jnp.where(step > max_step_norm, max_step_norm / step, 1.0)
             ok = nc >= min_correspondences
             estimate = jnp.where(
                 ok,
-                jnp.where(scale < 1.0, lie.se3_exp(xi * scale), estimate),
+                jnp.where(scale < 1.0, lie.se3_exp_poly(xi * scale), estimate),
                 eye,
             )
             active = ~converged
-            T_icp = jnp.where(active, estimate @ T_icp, T_icp)
+            T_icp = jnp.where(active, lie.compose(estimate, T_icp), T_icp)
             n_corr = jnp.where(active, nc, n_corr)
             rms = jnp.where(
                 active,
@@ -300,7 +397,7 @@ def icp_registration_unrolled(
             )
 
     empty = voxel_map.num_voxels(m) == 0
-    pose = jnp.where(empty, init_guess, T_icp @ init_guess)
+    pose = jnp.where(empty, init_guess, lie.compose(T_icp, init_guess))
     return IcpResult(pose, iters, n_corr, rms)
 
 

@@ -40,13 +40,13 @@ class ImuInitState(NamedTuple):
 
 
 def init_state() -> ImuInitState:
-    z = jnp.zeros(3, jnp.float64)
+    # distinct buffers per field (donation rejects aliased arguments)
     return ImuInitState(
         count=jnp.int32(0),
-        mean_acc=z,
-        mean_gyro=z,
-        cov_acc=z,
-        cov_gyro=z,
+        mean_acc=jnp.zeros(3, jnp.float64),
+        mean_gyro=jnp.zeros(3, jnp.float64),
+        cov_acc=jnp.zeros(3, jnp.float64),
+        cov_gyro=jnp.zeros(3, jnp.float64),
         done=jnp.asarray(False),
     )
 

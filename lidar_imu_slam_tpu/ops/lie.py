@@ -123,6 +123,87 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     return make_transform(R, t)
 
 
+def _sincos_poly(theta_sq: jnp.ndarray):
+    """(sin th / th, cos th) for th = sqrt(theta_sq), |th| <= ~3.2, by Taylor
+    at th/4 + two double-angle steps — NO transcendental calls.
+
+    XLA emulates every f64 sin/cos on TPU with a while loop (~40-100 us of
+    loop-sync each); the ICP inner iteration calls several, which profiled
+    as a large share of the ~0.7 ms/iteration. Pure-arithmetic evaluation
+    keeps the whole GN update a single fused chain. Max abs error < 1e-14
+    over the domain (series truncated at t^8 with |t| <= 0.8).
+    """
+    t2 = theta_sq / 16.0  # (th/4)^2
+    # sin(t)/t and cos(t) at t = th/4 (Taylor to t^10/t^11; truncation
+    # ~1e-11 at the domain edge t = 0.8, i.e. |th| = 3.2)
+    s = 1.0 - t2 / 6.0 * (
+        1.0 - t2 / 20.0 * (1.0 - t2 / 42.0 * (1.0 - t2 / 72.0 * (1.0 - t2 / 110.0)))
+    )
+    c = 1.0 - t2 / 2.0 * (
+        1.0 - t2 / 12.0 * (1.0 - t2 / 30.0 * (1.0 - t2 / 56.0 * (1.0 - t2 / 90.0)))
+    )
+    # double twice: sin2 = 2 s c (with s = sin/t -> sin2/t2 = s*c, t2 = 2t)
+    s, c = s * c, 2.0 * c * c - 1.0
+    s, c = s * c, 2.0 * c * c - 1.0
+    return s, c  # s == sin(th)/th, c == cos(th)
+
+
+def se3_exp_poly(xi: jnp.ndarray) -> jnp.ndarray:
+    """`se3_exp` with polynomial sin/cos and NO dot products — for hot loops
+    with bounded twist norm (|w| <= ~3; ICP steps are clamped far below).
+
+    Every f64 dot_general on TPU is emulated through a multi-pass bf16 MXU
+    while loop (profiled: the 4x4/3x3 matmuls and the normal-equation einsum
+    were the bulk of the ICP iteration). Here W^2 = w w^T - |w|^2 I is built
+    from scalar products and V @ v is expanded elementwise.
+    """
+    v, w = xi[..., :3], xi[..., 3:]
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    sq = wx * wx + wy * wy + wz * wz
+    sinc, cos_t = _sincos_poly(sq)
+    small = sq < _EPS
+    safe_sq = jnp.where(small, 1.0, sq)
+    b = jnp.where(small, 0.5 - sq / 24.0, (1.0 - cos_t) / safe_sq)
+    # (th - sin th)/th^3 = (1 - sinc)/th^2
+    cc = jnp.where(small, 1.0 / 6.0 - sq / 120.0, (1.0 - sinc) / safe_sq)
+
+    def rot_like(a, c):
+        # I + a*W + c*(w w^T - sq I), all scalar ops
+        return (
+            jnp.stack([1.0 + c * (wx * wx - sq), a * -wz + c * wx * wy, a * wy + c * wx * wz], axis=-1),
+            jnp.stack([a * wz + c * wx * wy, 1.0 + c * (wy * wy - sq), a * -wx + c * wy * wz], axis=-1),
+            jnp.stack([a * -wy + c * wx * wz, a * wx + c * wy * wz, 1.0 + c * (wz * wz - sq)], axis=-1),
+        )
+    r0, r1, r2 = rot_like(sinc, b)
+    R = jnp.stack([r0, r1, r2], axis=-2)
+    v0, v1, v2 = rot_like(b, cc)
+    t = jnp.stack(
+        [jnp.sum(v0 * v, axis=-1), jnp.sum(v1 * v, axis=-1), jnp.sum(v2 * v, axis=-1)],
+        axis=-1,
+    )
+    return make_transform(R, t)
+
+
+def compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4, 4) @ (..., 4, 4) pose composition WITHOUT a dot_general.
+
+    An f64 matmul on TPU — even 4x4 — lowers to a multi-pass bf16 MXU while
+    loop (~40-100 us of loop sync); the unrolled scalar form fuses into the
+    surrounding elementwise chain. Use for pose math inside jitted loops.
+    """
+    rows = []
+    for i in range(4):
+        cols = [
+            A[..., i, 0] * B[..., 0, j]
+            + A[..., i, 1] * B[..., 1, j]
+            + A[..., i, 2] * B[..., 2, j]
+            + A[..., i, 3] * B[..., 3, j]
+            for j in range(4)
+        ]
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
 def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     """(..., 4, 4) transform -> (..., 6) twist [v, w]."""
     R, t = T[..., :3, :3], T[..., :3, 3]
@@ -159,7 +240,11 @@ def orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
 def transform_inverse(T: jnp.ndarray) -> jnp.ndarray:
     R, t = T[..., :3, :3], T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    return make_transform(Rt, -(Rt @ t[..., None])[..., 0])
+    # -R^T t elementwise (a 3x3 f64 dot would lower to a TPU while loop)
+    ti = -jnp.stack(
+        [jnp.sum(R[..., :, i] * t, axis=-1) for i in range(3)], axis=-1
+    )
+    return make_transform(Rt, ti)
 
 
 def rotate_points(R: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:

@@ -252,7 +252,7 @@ def fused_downsample(points, mask, voxel_size: float, out_capacity: int):
     `voxel_size` voxels.
     """
     n = points.shape[0]
-    assert n <= (1 << 17), f"{n} points exceed the fused-downsample budget"
+    assert n <= (1 << _IDX_BITS), f"{n} points exceed the fused-downsample budget"
     fine = voxel_of(points, 0.5 * voxel_size)  # (N,3) i32
     # truncation-toward-zero halving (matches voxel_of(points, voxel_size))
     coarse = (fine + ((fine >> 31) & 1)) >> 1
@@ -270,13 +270,13 @@ def fused_downsample(points, mask, voxel_size: float, out_capacity: int):
     )
     fkey = (fres[:, 0] << 4) | (fres[:, 1] << 2) | fres[:, 2]  # 6 bits
     key = (ckey << 6) | fkey.astype(jnp.int64)
-    packed = (key << 17) | jnp.arange(n, dtype=jnp.int64)
+    packed = (key << _IDX_BITS) | jnp.arange(n, dtype=jnp.int64)
     packed = jnp.where(valid, packed, _SENTINEL)
     s = jnp.sort(packed)
 
-    idx_s = (s & ((1 << 17) - 1)).astype(jnp.int32)
-    fine_key = s >> 17
-    coarse_key = s >> 23
+    idx_s = (s & ((1 << _IDX_BITS) - 1)).astype(jnp.int32)
+    fine_key = s >> _IDX_BITS
+    coarse_key = s >> (_IDX_BITS + 6)
     valid_s = s < _SENTINEL
     pos = jnp.arange(n, dtype=jnp.int32)
 
@@ -380,6 +380,48 @@ def gather_candidates(m: VoxelMap, queries, qmask, cfg: MapConfig):
     cand = m.points[safe_slot].reshape(n, nb * k * 3)
     cand_valid = jnp.repeat(present.reshape(n, nb), k, axis=1)
     return cand, cand_valid
+
+
+def deinterleave_candidates(cand):
+    """(N, NB*K*3) flat rows -> ((N, NB*K) x, y, z). Done ONCE per fetch:
+    the stride-3 lane slices force a relayout, which must not run every ICP
+    iteration."""
+    return cand[:, 0::3], cand[:, 1::3], cand[:, 2::3]
+
+
+def nn_from_candidates_soa(cx, cy, cz, cand_valid, qx, qy, qz, qmask):
+    """`nn_from_candidates` in structure-of-arrays form: de-interleaved
+    candidate planes (from `deinterleave_candidates`) and (N,) f32 query
+    vectors. An (N, 3) tensor on TPU lane-pads the minor dimension 3 -> 128
+    (42x memory blowup per intermediate); the SoA ICP loop never
+    materializes one.
+
+    Returns (tx, ty, tz, nn_d2, found), each (N,).
+    """
+    x, y, z = cx, cy, cz
+    d2 = (
+        (x - qx[:, None]) ** 2 + (y - qy[:, None]) ** 2 + (z - qz[:, None]) ** 2
+    )
+    d2 = jnp.where(cand_valid, d2, jnp.inf)
+    # winner extraction via one-hot masked reductions: take_along_axis is a
+    # per-row lane gather that profiled at ~0.16 ms PER CALL at (4k, 240) —
+    # 4 calls dominated the whole GN iteration. The one-hot reduce is plain
+    # VPU work over the same tile.
+    best = jnp.argmin(d2, axis=-1)
+    onehot = (
+        jnp.arange(d2.shape[1], dtype=jnp.int32)[None, :] == best[:, None]
+    )
+    nn_d2 = jnp.min(d2, axis=-1)
+    found = qmask & jnp.isfinite(nn_d2)
+    zeros = jnp.float32(0.0)
+    tx = jnp.sum(jnp.where(onehot, x, zeros), axis=-1)
+    ty = jnp.sum(jnp.where(onehot, y, zeros), axis=-1)
+    tz = jnp.sum(jnp.where(onehot, z, zeros), axis=-1)
+    fz = jnp.zeros_like(qx)
+    tx = jnp.where(found, tx, fz)
+    ty = jnp.where(found, ty, fz)
+    tz = jnp.where(found, tz, fz)
+    return tx, ty, tz, jnp.where(found, nn_d2, jnp.inf), found
 
 
 def nn_from_candidates(cand, cand_valid, queries, qmask):

@@ -49,6 +49,15 @@ def batched_register_frame_jit(states, scans: Scan, cfg: PipelineConfig):
     return batched_register_frame(states, scans, cfg)
 
 
+# donating variant (batched maps are S x the single-stream slabs; callers
+# must not reuse `states` after the call)
+batched_register_frame_step = jax.jit(
+    lambda states, scans, cfg: batched_register_frame(states, scans, cfg),
+    static_argnames=("cfg",),
+    donate_argnums=(0,),
+)
+
+
 def perturb_scans(scan: Scan, key, num_streams: int, noise_sigma: float) -> Scan:
     """Monte-Carlo helper: replicate one scan across streams with iid point
     noise (perturbed-seed SLAM ensembles)."""

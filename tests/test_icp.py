@@ -162,3 +162,14 @@ class TestPartialCorrespondence:
         nn, d2, found = vm.nn_from_candidates(cand, cand_valid, q, jnp.ones(4, bool))
         assert not bool(found.any())
         assert bool(jnp.isfinite(nn).all())
+
+
+class TestChol6Solve:
+    def test_matches_numpy_solve(self):
+        rng = np.random.default_rng(2)
+        for _ in range(50):
+            M = rng.normal(size=(6, 6))
+            A = M @ M.T + 6 * np.eye(6)
+            b = rng.normal(size=6)
+            x = np.asarray(icp.chol6_solve(jnp.asarray(A), jnp.asarray(b)))
+            np.testing.assert_allclose(x, np.linalg.solve(A, b), atol=1e-10)

@@ -167,3 +167,24 @@ class TestQuatPropagator:
     def test_zero_rate_identity(self):
         A = lie.quat_propagator(jnp.zeros(3), 0.01)
         np.testing.assert_allclose(A, np.eye(4), atol=1e-15)
+
+
+class TestSe3ExpPoly:
+    """Polynomial (transcendental-free) exp used by the ICP hot loop."""
+
+    def test_matches_se3_exp_over_domain(self):
+        rng = np.random.default_rng(1)
+        for _ in range(200):
+            xi = rng.normal(size=6)
+            w = xi[3:]
+            xi[3:] = w / np.linalg.norm(w) * rng.uniform(1e-8, 3.1)
+            a = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+            b = np.asarray(lie.se3_exp_poly(jnp.asarray(xi)))
+            # poly truncation reaches ~5e-10 only at the domain edge
+            # (|w| ~ 3); ICP steps are clamped far below
+            np.testing.assert_allclose(b, a, atol=1e-9)
+
+    def test_zero_twist(self):
+        np.testing.assert_allclose(
+            np.asarray(lie.se3_exp_poly(jnp.zeros(6))), np.eye(4), atol=1e-15
+        )

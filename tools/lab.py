@@ -1,0 +1,170 @@
+"""Perf lab: cached synthetic inputs + warm state for quick step experiments.
+
+Renders/preprocesses the 22-scan HDL-64E drive once and caches it in
+/tmp/lis_lab.npz (rendering costs minutes on this 1-core host). Commands:
+
+    python tools/lab.py time      # warm-step timing trials
+    python tools/lab.py trace     # device trace -> op breakdown
+    python tools/lab.py streams S # S-stream unrolled aggregate
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lis_tpu_tpucache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+jax.config.update("jax_enable_x64", True)
+
+from lidar_imu_slam_tpu import config as cfgmod, parallel  # noqa: E402
+from lidar_imu_slam_tpu.host import synthetic  # noqa: E402
+from lidar_imu_slam_tpu.models import kiss_icp  # noqa: E402
+from lidar_imu_slam_tpu.ops.preprocess import RawScan, preprocess_scan, pack_raw_scan  # noqa: E402
+
+CACHE = "/tmp/lis_lab.npz"
+N_SCANS = 22
+PTS = 131072
+
+
+def make_cfg(neigh=8):
+    return cfgmod.PipelineConfig(
+        lidar=cfgmod.LidarConfig(
+            num_scan_lines=64, max_points=PTS, min_range=2.5, max_range=80.0
+        ),
+        map=cfgmod.MapConfig(
+            voxel_size=1.0, max_range=80.0, capacity=1 << 17, neighborhood=neigh
+        ),
+        icp=cfgmod.IcpConfig(max_map_points=32768, max_source_points=4096),
+    )
+
+
+def load_scans(cfg):
+    if os.path.exists(CACHE):
+        z = np.load(CACHE)
+        raws = [
+            (z[f"xyz{i}"], float(z[f"stamp{i}"])) for i in range(N_SCANS)
+        ]
+    else:
+        world = synthetic.make_world(
+            seed=0, n_points=600_000, extent=(160.0, 40.0, 12.0)
+        )
+        gt = synthetic.make_trajectory(
+            n_poses=N_SCANS, speed=8.0, yaw_rate=0.01, dt=0.1
+        )
+        raws = []
+        save = {}
+        for i, pose in enumerate(gt):
+            pts = synthetic.render_scan(
+                world, pose, PTS, 2.5, 80.0, noise=0.02, seed=i
+            )
+            raws.append((pts, i * 0.1))
+            save[f"xyz{i}"] = pts
+            save[f"stamp{i}"] = i * 0.1
+        np.savez(CACHE, **save)
+    pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
+    return [
+        jax.block_until_ready(
+            pre(pack_raw_scan(xyz, stamp=st, max_points=PTS))
+        )
+        for xyz, st in raws
+    ]
+
+
+def warm_state(cfg, scans, n=21):
+    state = kiss_icp.init_state(cfg)
+    for i in range(n):
+        state, out = kiss_icp.register_frame_jit(state, scans[i], cfg)
+    np.asarray(out.pose)
+    return state
+
+
+def cmd_time():
+    cfg = make_cfg()
+    scans = load_scans(cfg)
+    state = warm_state(cfg, scans)
+    for trial in range(4):
+        t0 = time.perf_counter()
+        n = 30
+        for _ in range(n):
+            s2, out = kiss_icp.register_frame_jit(state, scans[21], cfg)
+        np.asarray(out.pose)
+        print(f"trial {trial}: {(time.perf_counter()-t0)/n*1e3:.2f} ms/step "
+              f"iters={int(out.icp_iterations)}")
+
+
+def cmd_trace():
+    import collections
+    import glob
+    import gzip
+    import json
+    import shutil
+
+    cfg = make_cfg()
+    scans = load_scans(cfg)
+    state = warm_state(cfg, scans)
+    shutil.rmtree("/tmp/lis_trace2", ignore_errors=True)
+    with jax.profiler.trace("/tmp/lis_trace2"):
+        for _ in range(5):
+            s2, out = kiss_icp.register_frame_jit(state, scans[21], cfg)
+        np.asarray(out.pose)
+    f = glob.glob("/tmp/lis_trace2/**/*.trace.json.gz", recursive=True)[0]
+    with gzip.open(f) as fh:
+        t = json.load(fh)
+    names = {
+        e["pid"]: e["args"]["name"]
+        for e in t["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    tpu = [p for p, n in names.items() if "TPU" in n]
+    ev = [e for e in t["traceEvents"] if e.get("ph") == "X" and e["pid"] in tpu]
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for e in ev:
+        agg[e["name"]] += e.get("dur", 0)
+        cnt[e["name"]] += 1
+    for name, d in agg.most_common(20):
+        print(f"{d/1e3/5:9.3f} ms/step  x{cnt[name]/5:6.1f}  {name[:64]}")
+
+
+def cmd_streams(n_streams):
+    cfg = make_cfg()
+    bcfg = parallel.streams.batch_config(cfg)
+    scans = load_scans(cfg)
+    states = parallel.streams.init_batched_state(bcfg, n_streams)
+
+    def batch_scan(i):
+        idx = [min(i + s, N_SCANS - 1) for s in range(n_streams)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *[scans[j] for j in idx])
+
+    bscans = [batch_scan(i) for i in range(N_SCANS)]
+    for i in range(2):
+        states, outs = parallel.streams.batched_register_frame_jit(
+            states, bscans[i], bcfg
+        )
+    np.asarray(outs.pose)
+    t0 = time.perf_counter()
+    for i in range(2, N_SCANS):
+        states, outs = parallel.streams.batched_register_frame_jit(
+            states, bscans[i], bcfg
+        )
+    np.asarray(outs.pose)
+    agg = n_streams * (N_SCANS - 2) / (time.perf_counter() - t0)
+    print(f"{n_streams}-stream unrolled aggregate: {agg:.1f} scans/s "
+          f"({agg/n_streams:.2f}/stream)")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "time"
+    if cmd == "time":
+        cmd_time()
+    elif cmd == "trace":
+        cmd_trace()
+    elif cmd == "streams":
+        cmd_streams(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    else:
+        raise SystemExit(f"unknown command {cmd}")
