@@ -111,6 +111,13 @@ def main():
     np.asarray(outs.pose)  # true host sync
     batched = n_streams * (n_scans - 2) / (time.perf_counter() - t0)
 
+    # --- LIO (flagship lidar-inertial) mode --------------------------------
+    lio_rate = _bench_lio(cfg, scans, n_scans)
+
+    # --- 256-way Monte-Carlo (BASELINE config 5) at VLP-16 scale -----------
+    mc_streams = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    mc_rate = _bench_monte_carlo(mc_streams)
+
     best = max(single, batched)
     print(
         json.dumps(
@@ -124,10 +131,95 @@ def main():
                     "multi_stream_scans_per_sec": round(batched, 2),
                     "streams": n_streams,
                     "points_per_scan": points_per_scan,
+                    "lio_scans_per_sec": round(lio_rate, 2),
+                    "monte_carlo_aggregate_scans_per_sec": round(mc_rate, 2),
+                    "monte_carlo_streams": mc_streams,
                 },
             }
         )
     )
+
+
+def _bench_lio(cfg, scans, n_scans):
+    """The flagship LiDAR-inertial pipeline at the same 64-beam scale:
+    synthetic 100 Hz IMU packets consistent with the bench trajectory."""
+    import jax
+
+    from lidar_imu_slam_tpu.models import lio
+
+    state = lio.init_state(cfg)
+    cap = cfg.imu.max_samples_per_scan
+
+    def packet(i):
+        t = i * 0.1 + np.arange(10) * 0.01 + 1e-3
+        return lio.pack_imu_packet(
+            t, np.zeros((10, 3)), np.tile([0.0, 0.0, 9.81], (10, 1)), cap
+        )
+
+    packets = [packet(i) for i in range(n_scans)]
+    for i in range(2):
+        state, out = lio.step_donated(state, scans[i], packets[i], cfg)
+    np.asarray(out.pose)
+    t0 = time.perf_counter()
+    for i in range(2, n_scans):
+        state, out = lio.step_donated(state, scans[i], packets[i], cfg)
+    np.asarray(out.pose)
+    return (n_scans - 2) / (time.perf_counter() - t0)
+
+
+def _bench_monte_carlo(n_streams, n_steps: int = 8):
+    """BASELINE config 5: S concurrent perturbed SLAM streams at VLP-16
+    scale (16k pts/scan), fixed-unroll ICP, one vmapped program."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_imu_slam_tpu import config as cfgmod
+    from lidar_imu_slam_tpu import parallel
+    from lidar_imu_slam_tpu.host import synthetic
+    from lidar_imu_slam_tpu.ops.preprocess import pack_raw_scan, preprocess_scan
+
+    cfg = cfgmod.PipelineConfig(
+        lidar=cfgmod.LidarConfig(
+            num_scan_lines=16, max_points=16384, min_range=1.0, max_range=40.0
+        ),
+        map=cfgmod.MapConfig(
+            voxel_size=1.0, max_range=40.0, capacity=1 << 13, neighborhood=8
+        ),
+        icp=cfgmod.IcpConfig(max_map_points=8192, max_source_points=2048),
+    )
+    bcfg = parallel.streams.batch_config(cfg)
+    world = synthetic.make_world(seed=1, n_points=200_000, extent=(60.0, 20.0, 8.0))
+    gt = synthetic.make_trajectory(n_poses=n_steps + 2, speed=2.0, yaw_rate=0.01, dt=0.1)
+    pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
+    scans = []
+    for i, pose in enumerate(gt):
+        pts = synthetic.render_scan(world, pose, 16384, 1.0, 40.0, noise=0.02, seed=i)
+        scans.append(jax.block_until_ready(
+            pre(pack_raw_scan(pts, stamp=i * 0.1, max_points=16384))
+        ))
+
+    states = parallel.streams.init_batched_state(bcfg, n_streams)
+    key = jax.random.PRNGKey(0)
+
+    def batched(i):
+        # perturbed Monte-Carlo ensembles: same scan, iid point noise
+        return parallel.streams.perturb_scans(
+            scans[i], jax.random.fold_in(key, i), n_streams, 0.01
+        )
+
+    bscans = [batched(i) for i in range(n_steps + 2)]
+    for i in range(2):
+        states, outs = parallel.streams.batched_register_frame_step(
+            states, bscans[i], bcfg
+        )
+    np.asarray(outs.pose)
+    t0 = time.perf_counter()
+    for i in range(2, n_steps + 2):
+        states, outs = parallel.streams.batched_register_frame_step(
+            states, bscans[i], bcfg
+        )
+    np.asarray(outs.pose)
+    return n_streams * n_steps / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

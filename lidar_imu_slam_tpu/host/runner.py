@@ -103,13 +103,34 @@ class OdometryRunner:
     def _segments(self, scan, scan_index: int):
         """Frame splitting (reference split_clouds + MIN_SCAN_COUNT warmup
         gate, frame.cpp:5,64): one segment for the first `min_scan_count`
-        scans, then `frame_split_num` independent sub-frames."""
-        from ..ops.preprocess import split_scan
+        scans, then `frame_split_num` independent sub-frames.
+
+        Returns (segments, cfg): split segments are COMPACT (ceil(N/k)
+        shape), so each sub-step costs ~1/k of a full step instead of the
+        round-1 k-full-shape-steps behavior; they run under a derived
+        config whose downsample budgets fit the segment shape."""
+        from ..ops.preprocess import split_scan_compact
 
         n = self.cfg.lidar.frame_split_num
         if n <= 1 or scan_index < self.cfg.min_scan_count:
-            return [scan]
-        return split_scan(scan, n)
+            return [scan], self.cfg
+        return split_scan_compact(scan, n), self._segment_cfg()
+
+    def _segment_cfg(self):
+        if getattr(self, "_seg_cfg", None) is None:
+            import dataclasses
+
+            n = self.cfg.lidar.frame_split_num
+            seg_len = -(-self.cfg.lidar.max_points // n)
+            self._seg_cfg = self.cfg.replace(
+                lidar=dataclasses.replace(self.cfg.lidar, max_points=seg_len),
+                icp=dataclasses.replace(
+                    self.cfg.icp,
+                    max_map_points=min(self.cfg.icp.max_map_points, seg_len),
+                    max_source_points=min(self.cfg.icp.max_source_points, seg_len),
+                ),
+            )
+        return self._seg_cfg
 
     def _maybe_rebuild(self, scan_index: int) -> None:
         """Compact the hash table when eviction tombstones accumulate
@@ -151,10 +172,11 @@ class OdometryRunner:
             except StopIteration:
                 nxt = None
             t0 = time.perf_counter()
-            for seg in self._segments(scan, i):
+            segs, seg_cfg = self._segments(scan, i)
+            for seg in segs:
                 # donating step: the ~160 MB map slabs update in place
                 self.state, out = kiss_icp.register_frame_step(
-                    self.state, seg, self.cfg
+                    self.state, seg, seg_cfg
                 )
             if sync_every and (i + 1) % sync_every == 0:
                 np.asarray(out.pose)  # host sync (block_until_ready is

@@ -85,3 +85,45 @@ class TestSegments:
         m = np.asarray(scan.mask)
         counts = [int(((seg == i) & m).sum()) for i in range(4)]
         assert counts == [25, 25, 25, 25]
+
+
+class TestSplitScanCompact:
+    """Compact (ceil(N/k)-shaped) equal-count split must carry exactly the
+    same valid points, times and tau as the full-shape splitter."""
+
+    def test_matches_full_shape_split(self):
+        import numpy as np
+
+        from lidar_imu_slam_tpu.config import LidarConfig
+        from lidar_imu_slam_tpu.ops.preprocess import (
+            pack_raw_scan, preprocess_scan, split_scan, split_scan_compact,
+        )
+
+        rng = np.random.default_rng(0)
+        n_valid = 3000
+        pts = rng.uniform(-20, 20, (n_valid, 3))
+        t = np.sort(rng.uniform(0, 0.1, n_valid))
+        raw = pack_raw_scan(pts, time=100.0 + t, stamp=100.0, max_points=4096)
+        scan = preprocess_scan(raw, LidarConfig(max_range=50.0, min_range=0.1, max_points=4096))
+
+        for k in (2, 3, 4):
+            full = split_scan(scan, k)
+            compact = split_scan_compact(scan, k)
+            assert len(full) == len(compact) == k
+            for fs, cs in zip(full, compact):
+                assert cs.mask.shape[0] == -(-4096 // k)
+                f_pts = np.asarray(fs.xyz)[np.asarray(fs.mask)]
+                c_pts = np.asarray(cs.xyz)[np.asarray(cs.mask)]
+                np.testing.assert_allclose(c_pts, f_pts, atol=0)
+                np.testing.assert_allclose(
+                    np.asarray(cs.rel_t)[np.asarray(cs.mask)],
+                    np.asarray(fs.rel_t)[np.asarray(fs.mask)],
+                    atol=1e-12,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(cs.tau)[np.asarray(cs.mask)],
+                    np.asarray(fs.tau)[np.asarray(fs.mask)],
+                    atol=1e-6,
+                )
+                assert abs(float(cs.t_begin) - float(fs.t_begin)) < 1e-9
+                assert abs(float(cs.t_end) - float(fs.t_end)) < 1e-9
