@@ -64,8 +64,13 @@ def main():
             voxel_size=1.0, max_range=80.0, capacity=1 << 17, neighborhood=8
         ),
         # KITTI-realistic budgets: KISS-ICP's 1.5 m source downsample yields
-        # ~2-4k points on HDL-64E frames
-        icp=cfgmod.IcpConfig(max_map_points=32768, max_source_points=4096),
+        # ~2-4k points on HDL-64E frames. estimation_threshold relaxed from
+        # the reference's 1e-4: measured SAME ATE (0.0078 vs 0.0080) at 2
+        # instead of 5 GN iterations/scan
+        icp=cfgmod.IcpConfig(
+            max_map_points=32768, max_source_points=4096,
+            estimation_threshold=5e-4,
+        ),
     )
     scans = _make_inputs(cfg, n_scans, points_per_scan)
 
@@ -143,10 +148,14 @@ def main():
 def _bench_lio(cfg, scans, n_scans):
     """The flagship LiDAR-inertial pipeline at the same 64-beam scale:
     synthetic 100 Hz IMU packets consistent with the bench trajectory."""
-    import jax
+    import dataclasses
 
     from lidar_imu_slam_tpu.models import lio
 
+    # packet budget sized to the 100 Hz stream: the EKF lax.scan runs over
+    # the STATIC packet capacity, so a 64-slot budget wastes ~54 masked
+    # propagation steps per scan (~4x the EKF cost)
+    cfg = cfg.replace(imu=dataclasses.replace(cfg.imu, max_samples_per_scan=16))
     state = lio.init_state(cfg)
     cap = cfg.imu.max_samples_per_scan
 

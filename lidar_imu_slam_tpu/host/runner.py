@@ -188,7 +188,8 @@ class OdometryRunner:
             # fields would pin ~400 KB/scan of HBM over a long sequence)
             dev_outs.append(
                 (out.pose, out.icp_iterations, out.num_correspondences,
-                 out.residual_rms, out.sigma, out.map_voxels)
+                 out.residual_rms, out.sigma, out.map_voxels,
+                 out.icp_converged)
             )
             stamps.append(scan.t_begin)
             if (
@@ -204,7 +205,7 @@ class OdometryRunner:
             i += 1
         pool.shutdown()
         self._backend_observe(i, None, final=True)
-        for i, (pose, iters, ncorr, rms, sigma, nvox) in enumerate(dev_outs):
+        for i, (pose, iters, ncorr, rms, sigma, nvox, conv) in enumerate(dev_outs):
             self.poses.append(np.asarray(pose))
             self.stamps.append(float(stamps[i]))
             self.metrics.append(
@@ -214,6 +215,7 @@ class OdometryRunner:
                 residual_rms=rms,
                 sigma=sigma,
                 map_voxels=nvox,
+                icp_converged=conv,
             )
         return self
 

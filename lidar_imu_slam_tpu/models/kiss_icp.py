@@ -49,6 +49,7 @@ class FrameOutput(NamedTuple):
     residual_rms: jnp.ndarray  # () f64
     sigma: jnp.ndarray  # () f64 adaptive threshold used
     map_voxels: jnp.ndarray  # () i32
+    icp_converged: jnp.ndarray  # () bool
 
 
 def init_state(cfg: PipelineConfig) -> KissState:
@@ -245,6 +246,7 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
         residual_rms=result.residual_rms,
         sigma=sigma,
         map_voxels=voxel_map.num_voxels(new_map),
+        icp_converged=result.converged,
     )
     return new_state, out
 

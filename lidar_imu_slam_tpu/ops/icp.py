@@ -179,6 +179,9 @@ class IcpResult(NamedTuple):
     iterations: jnp.ndarray  # () i32
     num_correspondences: jnp.ndarray  # () i32 — from the last iteration
     residual_rms: jnp.ndarray  # () f64 — last-iteration inlier RMS distance
+    converged: jnp.ndarray  # () bool — twist-norm convergence reached (an
+    # exhausted refetch/iteration budget returns False: round-1 weakness #8,
+    # "silent non-convergence")
 
 
 def icp_registration(
@@ -305,12 +308,14 @@ def icp_registration(
         jnp.int32(0),
         jnp.float64(0.0),
     )
-    _, j, T_icp, _, n_corr, rms = jax.lax.while_loop(outer_cond, outer_body, init)
+    _, j, T_icp, converged, n_corr, rms = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
 
     # empty map: return the guess untouched (reference registration.cpp:99-100)
     empty = voxel_map.num_voxels(m) == 0
     pose = jnp.where(empty, init_guess, lie.compose(T_icp, init_guess))
-    return IcpResult(pose, j, n_corr, rms)
+    return IcpResult(pose, j, n_corr, rms, converged & ~empty)
 
 
 def icp_registration_unrolled(
@@ -398,7 +403,7 @@ def icp_registration_unrolled(
 
     empty = voxel_map.num_voxels(m) == 0
     pose = jnp.where(empty, init_guess, lie.compose(T_icp, init_guess))
-    return IcpResult(pose, iters, n_corr, rms)
+    return IcpResult(pose, iters, n_corr, rms, converged & ~empty)
 
 
 # ---------------------------------------------------------------------------

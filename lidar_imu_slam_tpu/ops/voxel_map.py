@@ -290,17 +290,31 @@ def fused_downsample(points, mask, voxel_size: float, out_capacity: int):
     # output position of the current map-voxel head (out_idx is nondecreasing)
     head_out = jax.lax.cummax(jnp.where(c_first, out_idx, 0))
 
-    # compact: second sort moves `first` lanes to the front in order
-    # (an i32 sort — cheaper than a full-lane scatter)
-    packed2 = jnp.where(first & (out_idx < out_capacity), pos, (1 << 30) + pos)
-    sel = jnp.sort(packed2)[:out_capacity] & ((1 << 30) - 1)  # sorted positions
+    # Compact with ONE payload-carrying i64 sort: every sorted-space field
+    # rides in the sort value, so the former five separate 32k-row gathers
+    # (each an ~0.2 ms scalar-gather fusion) collapse into one unpack plus
+    # the single point-row gather. First-lane out_idx values are distinct
+    # and nondecreasing, so sorting by (not-first flag | payload) puts the
+    # k-th output at slot k.
+    payload = (
+        (out_idx.astype(jnp.int64) << 37)
+        | (head_out.astype(jnp.int64) << 19)
+        | (c_first.astype(jnp.int64) << 18)
+        | idx_s.astype(jnp.int64)
+    )
+    drop = ~(first & (out_idx < out_capacity))
+    packed2 = (drop.astype(jnp.int64) << 62) | payload
+    sorted2 = jnp.sort(packed2)[:out_capacity]
+    idx_sel = (sorted2 & ((1 << 18) - 1)).astype(jnp.int32)
+    cfirst_sel = ((sorted2 >> 18) & 1).astype(bool)
+    head_sel = ((sorted2 >> 19) & ((1 << 18) - 1)).astype(jnp.int32)
+    oidx_sel = ((sorted2 >> 37) & ((1 << 18) - 1)).astype(jnp.int32)
 
-    osel = idx_s[sel]
-    out_pts = points[osel].astype(jnp.float32)
+    out_pts = points[idx_sel].astype(jnp.float32)
     out_mask = jnp.arange(out_capacity, dtype=jnp.int32) < n_unique
-    out_head = c_first[sel] & out_mask
-    out_head_pos = jnp.minimum(head_out[sel], out_capacity - 1)
-    out_rank = jnp.clip(out_idx[sel] - head_out[sel], 0, _RANK_CAP)
+    out_head = cfirst_sel & out_mask
+    out_head_pos = jnp.minimum(head_sel, out_capacity - 1)
+    out_rank = jnp.clip(oidx_sel - head_sel, 0, _RANK_CAP)
     return GroupedCloud(
         points=jnp.where(out_mask[:, None], out_pts, 0.0),
         mask=out_mask,
@@ -583,6 +597,9 @@ def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
     pos = base + g.rank
     ok = ok & (pos < k)
     flat = jnp.where(ok, slot * (k * 3) + pos * 3, capacity * k * 3)
+    # three flat per-component scatters: a single windowed lax.scatter of
+    # [x,y,z] triples lowers catastrophically on TPU (measured 62 ms/step
+    # vs 9.5), so scalar-index scatters it is
     pts_view = m.points.reshape(-1)
     for c in range(3):
         pts_view = pts_view.at[flat + c].set(g.points[:, c], mode="drop")
