@@ -241,10 +241,15 @@ def _state_jacobians(T_ab, prev_quat, A, R, dR, xa, dt):
 
 
 def _block_cov_propagate(P, Fx, Fw_Q_FwT):
-    """P update exploiting trail sparsity (reference ekf.cpp:284-289)."""
-    P = P.at[:INNER, :INNER].set(Fx @ P[:INNER, :INNER] @ Fx.T + Fw_Q_FwT)
-    P = P.at[INNER:, :INNER].set(P[INNER:, :INNER] @ Fx.T)
-    P = P.at[:INNER, INNER:].set(Fx @ P[:INNER, INNER:])
+    """P update exploiting trail sparsity (reference ekf.cpp:284-289).
+
+    matmul_nowhile: f64 dot_generals lower to bf16 while-loop emulation on
+    TPU; this runs once per IMU sample inside the predict scan."""
+    mm = lie.matmul_nowhile
+    FxT = Fx.T
+    P = P.at[:INNER, :INNER].set(mm(mm(Fx, P[:INNER, :INNER]), FxT) + Fw_Q_FwT)
+    P = P.at[INNER:, :INNER].set(mm(P[INNER:, :INNER], FxT))
+    P = P.at[:INNER, INNER:].set(mm(Fx, P[:INNER, INNER:]))
     return P
 
 
@@ -323,13 +328,13 @@ def kalman_update(m, P, y, H, Rn):
     then quaternion renormalization is the caller's job.
     """
     l = H.shape[1]
-    HP = H @ P[:l, :]  # (n, D)
-    S = Rn + HP[:, :l] @ H.T
-    L = jnp.linalg.cholesky(S)
-    K = jax.scipy.linalg.cho_solve((L, True), HP).T  # (D, n)
-    v = y - H @ m[:l]
-    m2 = m + K @ v
-    P2 = P - K @ HP
+    mm = lie.matmul_nowhile
+    HP = mm(H, P[:l, :])  # (n, D)
+    S = Rn + mm(HP[:, :l], H.T)
+    K = lie.chol_solve_unrolled(S, HP).T  # (D, n)
+    v = y - mm(H, m[:l, None])[:, 0]
+    m2 = m + mm(K, v[:, None])[:, 0]
+    P2 = P - mm(K, HP)
     return m2, P2
 
 
@@ -339,8 +344,9 @@ def _joseph_update(P, H_full, Rn, K):
     H_full: (n, D) dense measurement matrix.
     """
     d = P.shape[0]
-    IKH = jnp.eye(d, dtype=P.dtype) - K @ H_full
-    return IKH @ P @ IKH.T + K @ Rn @ K.T
+    mm = lie.matmul_nowhile
+    IKH = jnp.eye(d, dtype=P.dtype) - mm(K, H_full)
+    return mm(mm(IKH, P), IKH.T) + mm(mm(K, Rn), K.T)
 
 
 def zero_vel_update(state: EkfState, cfg: EkfConfig) -> EkfState:
@@ -604,22 +610,76 @@ def motion_compensation_with_imu(
     pos_lidar_end = rot_end @ t_il + pos_end
 
     # parallel per-point undistortion: interval = last trail entry with
-    # offset < t_pt (the reference's strict `>` walk, ekf.cpp:431)
+    # offset < t_pt (the reference's strict `>` walk, ekf.cpp:431).
+    # TPU restructure: the old form gathered (N, 3, 3) f64 rows and ran
+    # batched f64 matmuls + per-point so3_exp — f64 dot_generals lower to
+    # bf16 while-loop emulation and a minor dim of 3 lane-pads to 128. The
+    # trail rows are packed into ONE f32 table instead; a single row gather
+    # plus elementwise Rodrigues does the whole undistortion in f32 (the
+    # compensation displacement is sub-metre; the output is f32 anyway).
     offsets = trail["offset"]  # (M,) with inf on invalid entries
     k = jnp.clip(jnp.searchsorted(offsets, rel_t, side="left") - 1, 0, offsets.shape[0] - 1)
-    dtp = rel_t - jnp.where(jnp.isfinite(offsets[k]), offsets[k], 0.0)
-    R_head = trail["rot"][k]  # (N, 3, 3)
-    R_i = R_head @ lie.so3_exp(trail["gyr"][k] * dtp[:, None])
-    T_ei = (
-        trail["pos"][k]
-        + trail["vel"][k] * dtp[:, None]
-        + 0.5 * trail["acc"][k] * (dtp**2)[:, None]
-        + (R_i @ t_il)
-        - pos_lidar_end
-    )
-    p64 = points.astype(jnp.float64)
-    p_comp = (R_i @ p64[:, :, None])[:, :, 0] + T_ei
-    deskewed = (p_comp @ rot_end).astype(points.dtype)  # row-vector form of R_end^T p
+    off0 = jnp.where(jnp.isfinite(offsets), offsets, 0.0)
+    dtp = (rel_t - off0[k]).astype(jnp.float32)
+    table = jnp.concatenate(
+        [
+            trail["rot"].reshape(-1, 9),
+            trail["gyr"], trail["pos"], trail["vel"], trail["acc"],
+        ],
+        axis=1,
+    ).astype(jnp.float32)  # (M, 21)
+    prm = table[k]  # ONE (N, 21) f32 row gather
+    R00, R01, R02 = prm[:, 0], prm[:, 1], prm[:, 2]
+    R10, R11, R12 = prm[:, 3], prm[:, 4], prm[:, 5]
+    R20, R21, R22 = prm[:, 6], prm[:, 7], prm[:, 8]
+    gx, gy, gz = prm[:, 9], prm[:, 10], prm[:, 11]
+
+    wx, wy, wz = gx * dtp, gy * dtp, gz * dtp
+    sq = wx * wx + wy * wy + wz * wz  # |w| <= |gyr| * scan_duration << 1
+    sinc, cos_t = lie._sincos_poly(sq)
+    b = jnp.where(sq < 1e-12, 0.5, (1.0 - cos_t) / jnp.where(sq < 1e-12, 1.0, sq))
+
+    def exp_apply(vx, vy, vz):
+        # exp(w) v = v cos + (w x v) sinc + w (w . v) (1-cos)/|w|^2
+        dot = wx * vx + wy * vy + wz * vz
+        cx_ = wy * vz - wz * vy
+        cy_ = wz * vx - wx * vz
+        cz_ = wx * vy - wy * vx
+        return (
+            vx * cos_t + cx_ * sinc + wx * dot * b,
+            vy * cos_t + cy_ * sinc + wy * dot * b,
+            vz * cos_t + cz_ * sinc + wz * dot * b,
+        )
+
+    def head_apply(ax, ay, az):  # R_head v, per-point scalar coefficients
+        return (
+            R00 * ax + R01 * ay + R02 * az,
+            R10 * ax + R11 * ay + R12 * az,
+            R20 * ax + R21 * ay + R22 * az,
+        )
+
+    px, py, pz = points[:, 0], points[:, 1], points[:, 2]
+    qx, qy, qz = exp_apply(px, py, pz)
+    rx_, ry_, rz_ = head_apply(qx, qy, qz)  # R_i p
+    til = t_il.astype(jnp.float32)
+    ex, ey, ez = exp_apply(til[0], til[1], til[2])
+    ix_, iy_, iz_ = head_apply(ex, ey, ez)  # R_i t_il
+
+    ple = pos_lidar_end.astype(jnp.float32)
+    h2 = 0.5 * dtp * dtp
+    Tx = prm[:, 12] + prm[:, 15] * dtp + prm[:, 18] * h2 + ix_ - ple[0]
+    Ty = prm[:, 13] + prm[:, 16] * dtp + prm[:, 19] * h2 + iy_ - ple[1]
+    Tz = prm[:, 14] + prm[:, 17] * dtp + prm[:, 20] * h2 + iz_ - ple[2]
+    cx2, cy2, cz2 = rx_ + Tx, ry_ + Ty, rz_ + Tz
+    re = rot_end.astype(jnp.float32)
+    deskewed = jnp.stack(
+        [
+            re[0, 0] * cx2 + re[1, 0] * cy2 + re[2, 0] * cz2,  # R_end^T p
+            re[0, 1] * cx2 + re[1, 1] * cy2 + re[2, 1] * cz2,
+            re[0, 2] * cx2 + re[1, 2] * cy2 + re[2, 2] * cz2,
+        ],
+        axis=-1,
+    ).astype(points.dtype)
 
     state = state._replace(last_lidar_end_time=pcl_end_time)
     diag = {

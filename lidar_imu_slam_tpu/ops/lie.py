@@ -471,6 +471,45 @@ def quat_propagator(w: jnp.ndarray, dt) -> jnp.ndarray:
     return a[..., None, None] * eye + b[..., None, None] * S
 
 
+def matmul_nowhile(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Small/medium matmul as broadcast-multiply-reduce.
+
+    XLA lowers every f64 dot_general on TPU to a multi-pass bf16 MXU while
+    loop with heavy per-iteration sync; for matrices up to a few hundred on
+    a side (the EKF's 30/170-dim blocks) the elementwise product-reduce is
+    faster and fuses with its neighbors. Exact f64 math.
+    """
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def chol_solve_unrolled(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve SPD (n, n) A X = B for small static n with a fully unrolled
+    Cholesky (no XLA while-loops — see ops/icp.chol6_solve). B may be a
+    vector (n,) or matrix (n, m); rows are handled vectorized."""
+    n = A.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = A[j, j] - sum((L[j][k] * L[j][k] for k in range(j)), jnp.float64(0.0))
+        L[j][j] = jnp.sqrt(d)
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[i, j] - sum((L[i][k] * L[j][k] for k in range(j)), jnp.float64(0.0))
+            L[i][j] = s * inv_d
+    y = [None] * n
+    for i in range(n):
+        acc = B[i]
+        for k in range(i):
+            acc = acc - L[i][k] * y[k]
+        y[i] = acc / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = y[i]
+        for k in range(i + 1, n):
+            acc = acc - L[k][i] * x[k]
+        x[i] = acc / L[i][i]
+    return jnp.stack(x)
+
+
 def ang_vel_to_rot(w: jnp.ndarray, dt) -> jnp.ndarray:
     """Rotation matrix of angular velocity over dt (reference helper.hpp:35-40)."""
     return so3_exp(w * jnp.asarray(dt)[..., None] if jnp.ndim(dt) else w * dt)
