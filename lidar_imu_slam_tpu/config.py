@@ -36,6 +36,12 @@ class LidarConfig:
     frame_split_num: int = 1
     # static-shape budget: max raw points per scan message
     max_points: int = 131072
+    # sort points by relative time (reference sort_clouds, frame.cpp:28-51).
+    # False skips the sort + 131k-row reorder gather (~half the preprocess
+    # cost); registration is order-invariant except the downsample winner
+    # ("first in sensor order" instead of "first in time"). Required True
+    # for frame splitting.
+    sort_by_time: bool = True
 
     @property
     def angle_limit(self) -> float:

@@ -108,15 +108,22 @@ def rotation_model_rel_time(
 def preprocess_scan(raw: RawScan, cfg: LidarConfig) -> Scan:
     """Range gate, relative time, sort. Returns a full-scan `Scan` (split=1)."""
     xyz = raw.xyz
-    d2 = jnp.sum(xyz.astype(jnp.float32) ** 2, axis=-1)
-    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    # SoA range gate: a (N,3)-shaped reduction lane-pads 3 -> 128
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    d2 = x * x + y * y + z * z
+    finite = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
     gate = (d2 >= cfg.min_range**2) & (d2 <= cfg.max_range**2)
     mask = raw.mask & finite & gate
 
     has_time = jnp.any(raw.mask & (raw.time > 0))
-    rel_sensor = raw.time - raw.stamp
-    rel_model = rotation_model_rel_time(xyz, raw.ring, mask, cfg)
-    rel = jnp.where(has_time, rel_sensor, rel_model)
+    # lax.cond: jnp.where evaluated BOTH sides — the rotation-model fallback
+    # (per-ring scatter-min + gathers) ran even for sensors with per-point
+    # timestamps. Under jit (not vmap) cond executes one branch.
+    rel = jax.lax.cond(
+        has_time,
+        lambda: raw.time - raw.stamp,
+        lambda: rotation_model_rel_time(xyz, raw.ring, mask, cfg),
+    )
 
     # anchor at the first valid point's relative time so rel_t >= 0
     big = jnp.asarray(jnp.inf, rel.dtype)
@@ -125,12 +132,31 @@ def preprocess_scan(raw: RawScan, cfg: LidarConfig) -> Scan:
     t0 = jnp.where(jnp.isfinite(t0), t0, 0.0)
     rel = rel - t0
 
+    n = xyz.shape[0]
+    if not cfg.sort_by_time:
+        # perf opt-out (sort + the 131k-row reorder gather are ~half the
+        # preprocess cost): downstream registration is order-invariant
+        # except the first-point-per-voxel winner, which becomes "first in
+        # sensor order" instead of "first in time" (real sensors emit in
+        # near-time order). Frame splitting requires sorted scans.
+        rel_s = jnp.where(mask, rel, 0.0)
+        t_span = jnp.max(rel_s)
+        denom = jnp.where(t_span > 0, t_span, 1.0)
+        t_begin = raw.stamp + t0
+        return Scan(
+            xyz=jnp.where(mask[:, None], xyz, 0.0).astype(jnp.float32),
+            tau=(rel_s / denom).astype(jnp.float32),
+            rel_t=rel_s,
+            mask=mask,
+            t_begin=t_begin,
+            t_end=t_begin + t_span,
+        )
+
     # Sort by relative time, padding to the tail, ties by sensor order.
     # Packed single-operand sort instead of argsort: the f32 bit pattern of a
     # non-negative float is order-preserving, so (time_bits << idx_bits | idx)
     # sorts by time with a stable tiebreak — and batched variadic sorts
     # (argsort) lower catastrophically on TPU.
-    n = xyz.shape[0]
     idx_bits = max(n - 1, 1).bit_length()
     t_bits = jax.lax.bitcast_convert_type(
         jnp.maximum(rel, 0.0).astype(jnp.float32), jnp.int32
@@ -141,7 +167,13 @@ def preprocess_scan(raw: RawScan, cfg: LidarConfig) -> Scan:
     order = (s & ((1 << idx_bits) - 1)).astype(jnp.int32)
     mask_s = s < jnp.int64(0x7FFFFFFFFFFFFFFF)
     xyz_s = jnp.where(mask_s[:, None], xyz[order], 0.0).astype(jnp.float32)
-    rel_s = jnp.where(mask_s, rel[order], 0.0)
+    # the sorted time rides IN the key: unpacking the f32 bits saves a
+    # second (f64) 131k-row gather; f32 quantization of an in-scan relative
+    # time is ~6e-9 s
+    rel_s = jax.lax.bitcast_convert_type(
+        (s >> idx_bits).astype(jnp.int32), jnp.float32
+    ).astype(jnp.float64)
+    rel_s = jnp.where(mask_s, rel_s, 0.0)
 
     t_span = jnp.max(jnp.where(mask_s, rel_s, 0.0))
     denom = jnp.where(t_span > 0, t_span, 1.0)
