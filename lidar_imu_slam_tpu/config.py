@@ -64,6 +64,24 @@ class MapConfig:
     capacity: int = 1 << 17  # buckets; ~1.3M points at 10/voxel
     max_probes: int = 32  # legacy (v1 scalar-probe bound); v2 uses a fixed
     # 16-slot bounded window — field kept for config compatibility
+    # Dense toroidal grid index (round 3): voxel coords (mod grid dims) ->
+    # table slot, verified against the stored key. Lookups become ONE
+    # element gather instead of a 16-wide window gather (the window probe
+    # was ~0.5 ms/scan of pure gather traffic at 64-beam scale). Aliasing
+    # (two live voxels sharing a grid cell, only possible when the live
+    # span exceeds a grid dimension) degrades to a verified miss — never
+    # corruption; the insert path still resolves through the key window.
+    # 0 = auto (xy from max_range/voxel_size, z = 128).
+    grid_xy: int = 0
+    grid_z: int = 0
+    # NN candidate block prefix: gather only the first `nn_points` stored
+    # points of each candidate voxel for correspondence search (0 = all
+    # max_points_per_voxel). The gather cost scales with elements fetched;
+    # points within a voxel are <= voxel_size apart, so the NN among the
+    # oldest few is almost always the true NN. Must be even (the gather
+    # rides an i64-pair view of the f32 slabs). Perf-config option;
+    # semantic default is all points.
+    nn_points: int = 0
     # NN candidate neighborhood: 27 = full 3x3x3 shell (reference-faithful
     # superset, robust default), 8 = the 2x2x2 block covering +-half a voxel
     # (~3x fewer candidate gathers; documented deviation). At HDL-64E bench
@@ -76,6 +94,19 @@ class MapConfig:
     # livox_dense, bench.py) select 8 where inter-scan motion fits the
     # margin.
     neighborhood: int = 27
+
+    @property
+    def grid_dims(self) -> tuple:
+        """Resolved (gx, gy, gz) toroidal-grid dimensions (powers of two)."""
+        def pow2(n: int) -> int:
+            return 1 << max(int(n) - 1, 1).bit_length()
+
+        if self.grid_xy > 0:
+            gxy = pow2(self.grid_xy)
+        else:
+            gxy = pow2(int(2.0 * self.max_range / self.voxel_size) + 8)
+        gz = pow2(self.grid_z) if self.grid_z > 0 else 128
+        return (min(gxy, 1024), min(gxy, 1024), min(gz, 1024))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +140,13 @@ class IcpConfig:
     # the while loop (single-stream default).
     batch_unroll_outer: int = 0
     batch_unroll_inner: int = 0
+    # GN backend: "xla" = the f64 while-loop path (bit-exact with the parity
+    # oracle), "pallas" = the fused f32 Pallas kernel (ops/pallas/icp_gn.py:
+    # one dispatch per candidate fetch, ~6x per GN iteration; pose agreement
+    # validated in tests/test_pallas_gn.py). Perf configs select "pallas".
+    gn_backend: str = "xla"
+    # GN iterations per candidate fetch for the fused kernel while path
+    fused_inner: int = 6
 
 
 @dataclasses.dataclass(frozen=True)

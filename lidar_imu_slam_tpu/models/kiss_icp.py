@@ -164,38 +164,13 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
     )
 
     # 6. robust GN-ICP (max_corr = 3 sigma, kernel = sigma/3; icp.cpp:74-76)
-    #    on world-frame source from identity. Batched configs select the
-    #    fixed-unroll schedule (cfg.icp.batch_unroll_*) instead of the
-    #    data-dependent while loop.
-    if cfg.icp.batch_unroll_outer > 0:
-        result = icp_ops.icp_registration_unrolled(
-            state.map,
-            source,
-            source_mask,
-            jnp.eye(4, dtype=jnp.float64),
-            3.0 * sigma,
-            sigma / 3.0,
-            cfg.map,
-            cfg.icp.batch_unroll_outer,
-            cfg.icp.batch_unroll_inner,
-            cfg.icp.estimation_threshold,
-            cfg.icp.min_correspondences,
-            cfg.icp.max_step_norm,
-        )
-    else:
-        result = icp_ops.icp_registration(
-            state.map,
-            source,
-            source_mask,
-            jnp.eye(4, dtype=jnp.float64),
-            3.0 * sigma,
-            sigma / 3.0,
-            cfg.map,
-            cfg.icp.max_iterations,
-            cfg.icp.estimation_threshold,
-            cfg.icp.min_correspondences,
-            cfg.icp.max_step_norm,
-        )
+    #    on world-frame source from identity. The config selects the backend
+    #    (fused Pallas kernel vs f64 XLA loops) and schedule (while loop vs
+    #    fixed unroll for batched execution).
+    result = icp_ops.registration_dispatch(
+        state.map, source, source_mask, jnp.eye(4, dtype=jnp.float64),
+        sigma, cfg.map, cfg.icp,
+    )
     pose_icp = lie.compose(result.pose, init_guess)
     # scan-level divergence gate: a wild registration would poison the map
     # and compound through the constant-velocity prediction

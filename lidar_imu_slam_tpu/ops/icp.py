@@ -407,6 +407,257 @@ def icp_registration_unrolled(
 
 
 # ---------------------------------------------------------------------------
+# Fused-kernel registration (round 3): the GN inner loop as ONE Pallas
+# kernel per candidate fetch (ops/pallas/icp_gn.py). Same outer refetch
+# semantics as icp_registration; all inner math f32 on centered coords.
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=1)
+def _interpret_default() -> bool:
+    """Pallas interpret mode off TPU (CPU tests, virtual meshes)."""
+    import jax as _jax
+
+    return _jax.default_backend() != "tpu"
+
+
+@_functools.lru_cache(maxsize=None)
+def _fused_gn_vmappable(n_inner: int, interpret: bool):
+    """fused_gn wrapped with a custom vmap rule that dispatches to the
+    grid-batched kernel — so `jax.vmap(register_frame)` (multi-stream /
+    Monte-Carlo) batches the kernel over its grid instead of failing."""
+    from jax import custom_batching
+
+    from .pallas import icp_gn
+
+    @custom_batching.custom_vmap
+    def f(q, qmask, cand, scal):
+        return icp_gn.fused_gn(q, qmask, cand, scal, n_inner, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, q, qmask, cand, scal):  # noqa: ANN001
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape
+            )
+
+        q = bc(q, in_batched[0])
+        qmask = bc(qmask, in_batched[1])
+        cand = bc(cand, in_batched[2])
+        scal = bc(scal, in_batched[3])
+        out = icp_gn.fused_gn_batched(q, qmask, cand, scal, n_inner, interpret)
+        return out, tuple(True for _ in out)
+
+    return f
+
+
+def _fused_round(m, px, py, pz, mask, qmask_t, T, map_cfg: MapConfig,
+                 kernel_th, max_d2, estimation_threshold,
+                 min_correspondences, max_step_norm, refetch_d2,
+                 n_inner: int, interpret: bool):
+    """One fetch + n_inner fused GN iterations at pose T.
+
+    Returns (T_delta (4,4) f64 correction in the world frame, n_corr i32,
+    rms f64, iters i32, converged, stale)."""
+    qr = px.shape[0] // 128
+    wx, wy, wz = _transform_soa(T, px, py, pz)
+    anchor = T[:3, 3].astype(jnp.float32)
+    anchor64 = anchor.astype(jnp.float64)
+    q = jnp.stack(
+        [
+            (wx - anchor64[0]).astype(jnp.float32).reshape(qr, 128),
+            (wy - anchor64[1]).astype(jnp.float32).reshape(qr, 128),
+            (wz - anchor64[2]).astype(jnp.float32).reshape(qr, 128),
+        ]
+    )
+    world_f = jnp.stack(
+        [wx.astype(jnp.float32), wy.astype(jnp.float32),
+         wz.astype(jnp.float32)], axis=-1,
+    )
+    cand = voxel_map.gather_candidate_planes(m, world_f, mask, map_cfg, anchor)
+    scal = jnp.stack(
+        [
+            jnp.asarray(kernel_th, jnp.float64),
+            jnp.asarray(max_d2, jnp.float64),
+            jnp.asarray(estimation_threshold, jnp.float64),
+            jnp.asarray(min_correspondences, jnp.float64),
+            jnp.asarray(max_step_norm, jnp.float64),
+            jnp.asarray(refetch_d2, jnp.float64),
+            jnp.float64(0.0),
+            jnp.float64(0.0),
+        ]
+    ).astype(jnp.float32)
+    R, t, nc, rms, it, conv, stale = _fused_gn_vmappable(n_inner, interpret)(
+        q, qmask_t, cand, scal
+    )
+    # de-center: T_world = Trans(anchor) T_centered Trans(-anchor)
+    Rd = R.astype(jnp.float64)
+    td = (
+        t.astype(jnp.float64)
+        + anchor64
+        - jnp.stack([jnp.sum(Rd[i] * anchor64) for i in range(3)])
+    )
+    T_delta = lie.make_transform(Rd, td)
+    return (T_delta, nc.astype(jnp.int32), rms.astype(jnp.float64),
+            it.astype(jnp.int32), conv, stale)
+
+
+def icp_registration_fused(
+    m: voxel_map.VoxelMap,
+    points,  # (N, 3) f32 sensor-frame source, N % 128 == 0
+    mask,  # (N,) bool
+    init_guess,  # (4, 4) f64
+    max_corresp_dist,
+    kernel_th,
+    map_cfg: MapConfig,
+    max_iterations: int,
+    estimation_threshold: float,
+    min_correspondences: int = 20,
+    max_step_norm: float = 2.0,
+    n_inner: int = 6,
+    interpret: bool | None = None,
+) -> IcpResult:
+    """`icp_registration` with the fused-kernel inner loop.
+
+    Outer `lax.while_loop` refetches candidates at the current pose (same
+    staleness semantics: the kernel freezes once its accumulated correction
+    drifts beyond half a voxel and reports `stale`); the kernel runs up to
+    `n_inner` GN iterations per fetch in one dispatch.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    max_d2 = max_corresp_dist * max_corresp_dist
+    refetch_d2 = (0.5 * map_cfg.voxel_size) ** 2
+    max_refetch = 6
+    px = points[:, 0].astype(jnp.float64)
+    py = points[:, 1].astype(jnp.float64)
+    pz = points[:, 2].astype(jnp.float64)
+    qr = points.shape[0] // 128
+    qmask_t = mask.reshape(qr, 128).astype(jnp.float32)
+
+    def cond(state):
+        r, iters, _, converged, _, _ = state
+        return (r < max_refetch) & (iters < max_iterations) & ~converged
+
+    def body(state):
+        r, iters, T_icp, converged, n_corr, rms = state
+        T = lie.compose(T_icp, init_guess)
+        T_delta, nc, rms2, it, conv, _stale = _fused_round(
+            m, px, py, pz, mask, qmask_t, T, map_cfg, kernel_th, max_d2,
+            estimation_threshold, min_correspondences, max_step_norm,
+            refetch_d2, n_inner, interpret,
+        )
+        return (r + 1, iters + it, lie.compose(T_delta, T_icp), conv,
+                nc, rms2)
+
+    init = (
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.eye(4, dtype=jnp.float64),
+        jnp.asarray(False),
+        jnp.int32(0),
+        jnp.float64(0.0),
+    )
+    _, iters, T_icp, converged, n_corr, rms = jax.lax.while_loop(
+        cond, body, init
+    )
+    empty = voxel_map.num_voxels(m) == 0
+    pose = jnp.where(empty, init_guess, lie.compose(T_icp, init_guess))
+    return IcpResult(pose, iters, n_corr, rms, converged & ~empty)
+
+
+def icp_registration_fused_unrolled(
+    m: voxel_map.VoxelMap,
+    points,
+    mask,
+    init_guess,
+    max_corresp_dist,
+    kernel_th,
+    map_cfg: MapConfig,
+    n_outer: int,
+    n_inner: int,
+    estimation_threshold: float,
+    min_correspondences: int = 20,
+    max_step_norm: float = 2.0,
+    interpret: bool | None = None,
+) -> IcpResult:
+    """Fixed-unroll fused-kernel ICP for BATCHED (vmap) execution: `n_outer`
+    static fetches x `n_inner` kernel iterations, early-exit masking. The
+    kernel batches over its grid via the custom vmap rule."""
+    if interpret is None:
+        interpret = _interpret_default()
+    max_d2 = max_corresp_dist * max_corresp_dist
+    refetch_d2 = (0.5 * map_cfg.voxel_size) ** 2
+    px = points[:, 0].astype(jnp.float64)
+    py = points[:, 1].astype(jnp.float64)
+    pz = points[:, 2].astype(jnp.float64)
+    qr = points.shape[0] // 128
+    qmask_t = mask.reshape(qr, 128).astype(jnp.float32)
+
+    T_icp = jnp.eye(4, dtype=jnp.float64)
+    converged = jnp.asarray(False)
+    n_corr = jnp.int32(0)
+    rms = jnp.float64(0.0)
+    iters = jnp.int32(0)
+    for _ in range(n_outer):
+        T = lie.compose(T_icp, init_guess)
+        T_delta, nc, rms2, it, conv, _stale = _fused_round(
+            m, px, py, pz, mask, qmask_t, T, map_cfg, kernel_th, max_d2,
+            estimation_threshold, min_correspondences, max_step_norm,
+            refetch_d2, n_inner, interpret,
+        )
+        active = ~converged
+        T_icp = jnp.where(active, lie.compose(T_delta, T_icp), T_icp)
+        n_corr = jnp.where(active, nc, n_corr)
+        rms = jnp.where(active, rms2, rms)
+        iters = iters + jnp.where(active, it, 0)
+        converged = converged | conv
+
+    empty = voxel_map.num_voxels(m) == 0
+    pose = jnp.where(empty, init_guess, lie.compose(T_icp, init_guess))
+    return IcpResult(pose, iters, n_corr, rms, converged & ~empty)
+
+
+def registration_dispatch(m, source, source_mask, init_guess, sigma,
+                          map_cfg, icp_cfg) -> IcpResult:
+    """Select the registration variant from the config: gn_backend
+    ("pallas" fused kernel vs "xla" f64 loops) x schedule (data-dependent
+    while loop vs fixed unroll for batched execution). max_corr = 3 sigma,
+    kernel = sigma / 3 (reference icp.cpp:74-76)."""
+    max_corr = 3.0 * sigma
+    kth = sigma / 3.0
+    if icp_cfg.gn_backend == "pallas":
+        if icp_cfg.batch_unroll_outer > 0:
+            return icp_registration_fused_unrolled(
+                m, source, source_mask, init_guess, max_corr, kth, map_cfg,
+                icp_cfg.batch_unroll_outer,
+                icp_cfg.batch_unroll_inner or icp_cfg.fused_inner,
+                icp_cfg.estimation_threshold,
+                icp_cfg.min_correspondences, icp_cfg.max_step_norm,
+            )
+        return icp_registration_fused(
+            m, source, source_mask, init_guess, max_corr, kth, map_cfg,
+            icp_cfg.max_iterations, icp_cfg.estimation_threshold,
+            icp_cfg.min_correspondences, icp_cfg.max_step_norm,
+            icp_cfg.fused_inner,
+        )
+    if icp_cfg.batch_unroll_outer > 0:
+        return icp_registration_unrolled(
+            m, source, source_mask, init_guess, max_corr, kth, map_cfg,
+            icp_cfg.batch_unroll_outer, icp_cfg.batch_unroll_inner,
+            icp_cfg.estimation_threshold,
+            icp_cfg.min_correspondences, icp_cfg.max_step_norm,
+        )
+    return icp_registration(
+        m, source, source_mask, init_guess, max_corr, kth, map_cfg,
+        icp_cfg.max_iterations, icp_cfg.estimation_threshold,
+        icp_cfg.min_correspondences, icp_cfg.max_step_norm,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Adaptive threshold (reference threshold.cpp, threshold.hpp)
 # ---------------------------------------------------------------------------
 

@@ -77,6 +77,11 @@ class VoxelMap(NamedTuple):
     npts: jnp.ndarray  # (C,) int32
     tombstones: jnp.ndarray  # () int32 — rebuild hint
     drops: jnp.ndarray  # () int32 — keys dropped by the bounded window
+    grid: jnp.ndarray  # (Gx*Gy*Gz,) int32 dense toroidal index: voxel
+    # coords (mod grid dims) -> table slot, -1 = absent. Entries may be
+    # STALE (eviction does not clear them; slot reuse overwrites them):
+    # every lookup verifies keys[slot] == key, so a stale entry is a
+    # verified miss, never corruption. Insert self-heals stale entries.
 
 
 def create(cfg: MapConfig) -> VoxelMap:
@@ -87,13 +92,33 @@ def create(cfg: MapConfig) -> VoxelMap:
             f"{cfg.max_range}: wrapped {_KEY_BITS}-bit keys alias when the "
             f"live span exceeds {_KEY_MASK + 1} voxels per axis"
         )
+    gx, gy, gz = cfg.grid_dims
+    if cfg.voxel_size * (min(gx, gy) - 4) < 2.0 * cfg.max_range:
+        raise ValueError(
+            f"grid_xy {min(gx, gy)} too small for max_range {cfg.max_range} "
+            f"at voxel_size {cfg.voxel_size}: live voxels would alias in "
+            f"the dense index"
+        )
+    if cfg.nn_points % 2 != 0:
+        raise ValueError("nn_points must be even (i64-pair candidate gather)")
     return VoxelMap(
         keys=jnp.full((c,), EMPTY, dtype=jnp.int32),
         points=jnp.full((c, k * 3), jnp.inf, dtype=jnp.float32),
         npts=jnp.zeros((c,), dtype=jnp.int32),
         tombstones=jnp.zeros((), dtype=jnp.int32),
         drops=jnp.zeros((), dtype=jnp.int32),
+        grid=jnp.full((gx * gy * gz,), -1, dtype=jnp.int32),
     )
+
+
+def grid_pos(keys: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
+    """Dense-grid cell of a packed key: each 10-bit wrapped axis field is
+    further wrapped to the grid dimension (powers of two)."""
+    gx, gy, gz = cfg.grid_dims
+    x = (keys >> (2 * _KEY_BITS)) & (gx - 1)
+    y = (keys >> _KEY_BITS) & (gy - 1)
+    z = keys & (gz - 1)
+    return (x * gy + y) * gz + z
 
 
 def voxel_of(points: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
@@ -133,29 +158,32 @@ def _hash32(key: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return (k & jnp.uint32(capacity - 1)).astype(jnp.int32)
 
 
-def _keys_wide(table_keys: jnp.ndarray) -> jnp.ndarray:
-    """(C, W) window: row s holds the keys of slots s..s+W-1 (wrapped).
+def _window_rows(table_keys: jnp.ndarray, h0: jnp.ndarray) -> jnp.ndarray:
+    """(N, W) probe windows: row q holds keys of slots h0[q]..h0[q]+W-1
+    (wrapped).
 
-    One (N, W)-row gather then resolves a whole probe window per query."""
-    return jnp.stack([jnp.roll(table_keys, -j) for j in range(_W)], axis=1)
+    v3: a wrap-padded copy of the table + a vmapped dynamic_slice — XLA
+    lowers this to ONE gather with a contiguous W-slice (64 B rows). The v2
+    form materialized a (C, W) stack of 16 rolled copies of the whole table
+    (8 MB of HBM traffic at C=2^17) on EVERY lookup/insert round."""
+    padded = jnp.concatenate([table_keys, table_keys[:_W]])
+    return jax.vmap(lambda h: jax.lax.dynamic_slice(padded, (h,), (_W,)))(h0)
 
 
-def _window_rows(kw: jnp.ndarray, qkeys: jnp.ndarray, capacity: int):
-    h0 = _hash32(qkeys, capacity)
-    return h0, kw[h0]  # (N,), (N, W)
+def _lookup(m: "VoxelMap", qkeys: jnp.ndarray, qvalid: jnp.ndarray,
+            cfg: MapConfig):
+    """Grid-index lookup with key verification (round 3).
 
-
-def _lookup(table_keys: jnp.ndarray, qkeys: jnp.ndarray, qvalid: jnp.ndarray,
-            kw: jnp.ndarray | None = None):
-    """Vectorized bounded-window lookup. Returns slot per query, -1 if absent."""
-    capacity = table_keys.shape[0]
-    if kw is None:
-        kw = _keys_wide(table_keys)
-    h0, rows = _window_rows(kw, qkeys, capacity)
-    matched = rows == qkeys[:, None]
-    found = qvalid & jnp.any(matched, axis=1)
-    pos = jnp.argmax(matched, axis=1).astype(jnp.int32)
-    return jnp.where(found, (h0 + pos) & (capacity - 1), jnp.int32(-1))
+    TWO single-element gathers per query (grid cell, then the stored key)
+    instead of the 16-wide window gather — XLA TPU gather cost scales with
+    elements fetched, and the window rows were ~0.5 ms/scan at 64-beam
+    scale. Stale/aliased grid entries fail the key check and read as
+    absent. Returns slot per query, -1 if absent."""
+    gp = grid_pos(qkeys, cfg)
+    slot = m.grid[gp]
+    safe = jnp.maximum(slot, 0)
+    ok = qvalid & (slot >= 0) & (m.keys[safe] == qkeys)
+    return jnp.where(ok, safe, jnp.int32(-1))
 
 
 # ---------------------------------------------------------------------------
@@ -356,6 +384,26 @@ def gather_candidates(m: VoxelMap, queries, qmask, cfg: MapConfig):
     """
     k = cfg.max_points_per_voxel
     n = queries.shape[0]
+    slots, present, nb = _neighbor_slots(m, queries, qmask, cfg)
+    safe_slot = jnp.where(present, slots, 0)
+    # gather K-point block-row PREFIXES (cfg.nn_points of K) through an
+    # i64-pair view: XLA TPU gather cost scales with ELEMENTS fetched
+    # (~1.5 ns/elem measured), so pairing f32 lanes halves it (1.20 ->
+    # 0.79 ms at 32k x 30 f32). Candidates stay FLAT (N, NB*Kn*3): a
+    # trailing dimension of 3 would be lane-padded to 128 when loop-carried.
+    # Unused block lanes hold +inf and self-mask in the distance reduction.
+    kn = cfg.nn_points if cfg.nn_points else k
+    rows = _gather_row_prefix(m.points, safe_slot, kn * 3)
+    cand = rows.reshape(n, nb * kn * 3)
+    cand_valid = jnp.repeat(present.reshape(n, nb), kn, axis=1)
+    return cand, cand_valid
+
+
+def _neighbor_slots(m: VoxelMap, queries, qmask, cfg: MapConfig):
+    """Table slots of each query's candidate neighborhood.
+
+    Returns (slots (N*NB,) i32 with -1 for absent, present (N*NB,) bool,
+    nb)."""
     vox = voxel_of(queries, cfg.voxel_size)  # (N, 3)
     if cfg.neighborhood == 8:
         # 2x2x2 cover of the +-half-voxel cube around the query: on the
@@ -382,18 +430,57 @@ def gather_candidates(m: VoxelMap, queries, qmask, cfg: MapConfig):
         nb = 27
     nkeys = pack_key(nbr).reshape(-1)  # (N*NB,)
     nvalid = jnp.repeat(qmask, nb)
-    slots = _lookup(m.keys, nkeys, nvalid)  # (N*NB,)
+    slots = _lookup(m, nkeys, nvalid, cfg)  # (N*NB,)
+    return slots, slots >= 0, nb
 
-    present = slots >= 0
+
+def gather_candidate_planes(m: VoxelMap, queries, qmask, cfg: MapConfig,
+                            anchor):
+    """Candidate fetch in fused-GN kernel layout (ops/pallas/icp_gn.py).
+
+    queries (N, 3) f32 world frame, N a multiple of 128; anchor (3,) f32
+    centering offset. Returns (3, NB*Kn, N // 128, 128) f32 candidate
+    coordinate planes, CENTERED on anchor; +inf marks absent voxels and
+    unused block lanes (they self-lose the kernel's running-min)."""
+    k = cfg.max_points_per_voxel
+    kn = cfg.nn_points if cfg.nn_points else k
+    n = queries.shape[0]
+    assert n % 128 == 0, f"kernel layout needs N % 128 == 0 (got {n})"
+    slots, present, nb = _neighbor_slots(m, queries, qmask, cfg)
     safe_slot = jnp.where(present, slots, 0)
-    # gather whole K-point block rows (K*3 floats each): one wide-row gather
-    # instead of N*NB*K tiny 12-byte gathers — TPU gather throughput scales
-    # with row width, not row count. Candidates stay FLAT (N, NB*K*3): a
-    # trailing dimension of 3 would be lane-padded to 128 when loop-carried.
-    # Unused block lanes hold +inf and self-mask in the distance reduction.
-    cand = m.points[safe_slot].reshape(n, nb * k * 3)
-    cand_valid = jnp.repeat(present.reshape(n, nb), k, axis=1)
-    return cand, cand_valid
+    rows = _gather_row_prefix(m.points, safe_slot, kn * 3)  # (N*NB, Kn*3)
+    rows = jnp.where(present[:, None], rows, jnp.inf)
+    r = rows.reshape(n, nb * kn, 3)
+    planes = jnp.transpose(r, (2, 1, 0))  # one relayout per fetch
+    planes = planes - anchor[:, None, None].astype(jnp.float32)
+    return planes.reshape(3, nb * kn, n // 128, 128)
+
+
+def _gather_row_prefix(points: jnp.ndarray, slots: jnp.ndarray, width: int):
+    """Gather `width`-float row prefixes of the (C, K*3) slab as i64 pairs
+    when the widths are even (half the gathered elements), f32 otherwise."""
+    c, row_w = points.shape
+    if width % 2 == 0 and row_w % 2 == 0:
+        t64 = jax.lax.bitcast_convert_type(
+            points.reshape(c, row_w // 2, 2), jnp.int64
+        )  # (C, row_w/2) — layout-compatible view, no copy
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+        )
+        rows64 = jax.lax.gather(
+            t64, slots[:, None].astype(jnp.int32),
+            dimension_numbers=dn, slice_sizes=(1, width // 2),
+        )
+        return jax.lax.bitcast_convert_type(rows64, jnp.float32).reshape(
+            slots.shape[0], width
+        )
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    return jax.lax.gather(
+        points, slots[:, None].astype(jnp.int32),
+        dimension_numbers=dn, slice_sizes=(1, width),
+    )
 
 
 def deinterleave_candidates(cand):
@@ -483,16 +570,21 @@ _ALLOC_CAP = 16384  # compacted allocation lanes per insert call
 
 
 def _find_or_alloc(table_keys, qkeys, active, attempts: int = 4,
-                   alloc_cap: int | None = None):
+                   alloc_cap: int | None = None, grid=None,
+                   cfg: MapConfig | None = None):
     """Find-or-allocate a window slot for each active key.
 
-    Phase 1: one wide-window gather resolves every present key. Phase 2:
-    missing keys are COMPACTED to `alloc_cap` lanes (allocation is the rare
-    case at steady state; compaction keeps the claim-contest gathers small)
-    and claim free window slots over up to `attempts` contest rounds.
-    Duplicate missing keys converge: the loser finds the winner's key on the
-    next round. Keys whose window has no free slot (or beyond alloc_cap) are
-    dropped and counted.
+    Phase 1: resolve present keys — via the dense grid index + key verify
+    when `grid` is given (one element gather instead of the 16-wide window
+    rows), else via a window gather (rebuild path). A stale grid entry
+    reads as missing; phase 2's window probe then re-finds the key in the
+    table, so no duplicate is ever allocated. Phase 2: missing keys are
+    COMPACTED to `alloc_cap` lanes (allocation is the rare case at steady
+    state; compaction keeps the claim-contest gathers small) and claim free
+    window slots over up to `attempts` contest rounds. Duplicate missing
+    keys converge: the loser finds the winner's key on the next round. Keys
+    whose window has no free slot (or beyond alloc_cap) are dropped and
+    counted.
 
     Returns (new_table_keys, slots (N,) i32 with -1 for dropped/inactive,
              reused_tombstones (), dropped ()).
@@ -502,12 +594,18 @@ def _find_or_alloc(table_keys, qkeys, active, attempts: int = 4,
     acap = min(n, _ALLOC_CAP if alloc_cap is None else alloc_cap)
     h0 = _hash32(qkeys, capacity)
 
-    kw = _keys_wide(table_keys)
-    rows = kw[h0]
-    matched = rows == qkeys[:, None]
-    found = active & jnp.any(matched, axis=1)
-    pos = jnp.argmax(matched, axis=1).astype(jnp.int32)
-    slots = jnp.where(found, (h0 + pos) & (capacity - 1), jnp.int32(-1))
+    if grid is not None:
+        gp = grid_pos(qkeys, cfg)
+        gslot = grid[gp]
+        safe = jnp.maximum(gslot, 0)
+        found = active & (gslot >= 0) & (table_keys[safe] == qkeys)
+        slots = jnp.where(found, safe, jnp.int32(-1))
+    else:
+        rows = _window_rows(table_keys, h0)
+        matched = rows == qkeys[:, None]
+        found = active & jnp.any(matched, axis=1)
+        pos = jnp.argmax(matched, axis=1).astype(jnp.int32)
+        slots = jnp.where(found, (h0 + pos) & (capacity - 1), jnp.int32(-1))
 
     missing = active & ~found
     # compact missing lanes to the front via one i32 sort
@@ -525,8 +623,7 @@ def _find_or_alloc(table_keys, qkeys, active, attempts: int = 4,
 
     def body(carry):
         att, table_keys, mslots, reused = carry
-        kw = _keys_wide(table_keys)
-        rows = kw[mh0]  # (A, W)
+        rows = _window_rows(table_keys, mh0)  # (A, W)
         unresolved = mactive & (mslots == -1)
         matched = rows == mkeys[:, None]
         hit = unresolved & jnp.any(matched, axis=1)
@@ -588,9 +685,19 @@ def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
     if keys is None:
         keys = pack_key(voxel_of(g.points, cfg.voxel_size))
 
+    active_head = g.head & g.mask
     new_keys, slots, reused, dropped = _find_or_alloc(
-        m.keys, keys, g.head & g.mask
+        m.keys, keys, active_head, grid=m.grid, cfg=cfg
     )
+    # refresh the dense index for every resolved head: newly allocated slots
+    # gain their entry; stale entries (evicted-then-reinserted voxels, grid
+    # aliasing) self-heal. Head keys are unique, so targets never collide.
+    gsize = m.grid.shape[0]
+    ok_head = active_head & (slots >= 0)
+    new_grid = m.grid.at[
+        jnp.where(ok_head, grid_pos(keys, cfg), gsize)
+    ].set(slots, mode="drop")
+
     slot = slots[jnp.minimum(g.head_pos, n - 1)]  # my head's slot
     ok = g.mask & (slot >= 0)
     base = jnp.where(ok, m.npts[jnp.where(ok, slot, 0)], 0)
@@ -606,7 +713,7 @@ def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
     new_points = pts_view.reshape(capacity, k * 3)
     new_npts = m.npts.at[jnp.where(ok, slot, capacity)].max(pos + 1, mode="drop")
     return VoxelMap(new_keys, new_points, new_npts,
-                    m.tombstones - reused, m.drops + dropped)
+                    m.tombstones - reused, m.drops + dropped, new_grid)
 
 
 def insert(m: VoxelMap, points, mask, cfg: MapConfig) -> VoxelMap:
@@ -664,6 +771,9 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
     far_block = occupied & (jnp.sum(dvox * dvox, axis=-1) > cfg.max_range**2)
 
     if not exact_boundary:
+        # the grid is left untouched: entries for evicted voxels go stale
+        # and fail the key verification on lookup (never corruption); a
+        # re-inserted voxel self-heals its entry in insert_grouped
         new_keys = jnp.where(far_block, DELETED, m.keys)
         new_points = jnp.where(far_block[:, None], jnp.inf, m.points)
         return VoxelMap(
@@ -672,6 +782,7 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
             jnp.where(far_block, 0, m.npts),
             m.tombstones + jnp.sum(far_block, dtype=jnp.int32),
             m.drops,
+            m.grid,
         )
 
     pts = m.points.reshape(c, k, 3)  # cold path: exact_boundary only
@@ -696,6 +807,7 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
         new_npts,
         m.tombstones + jnp.sum(emptied, dtype=jnp.int32),
         m.drops,
+        m.grid,
     )
 
 
@@ -737,16 +849,21 @@ def rebuild(m: VoxelMap, cfg: MapConfig) -> VoxelMap:
     """
     occupied = m.keys >= 0
     fresh_keys = jnp.full_like(m.keys, EMPTY)
+    live_keys = jnp.where(occupied, m.keys, 0)
     new_keys, slots, _, dropped = _find_or_alloc(
-        fresh_keys, jnp.where(occupied, m.keys, 0), occupied,
+        fresh_keys, live_keys, occupied,
         alloc_cap=m.keys.shape[0],
     )
     ok = occupied & (slots >= 0)
     dst = jnp.where(ok, slots, cfg.capacity)
     pts = jnp.full_like(m.points, jnp.inf).at[dst].set(m.points, mode="drop")
     npts = jnp.zeros_like(m.npts).at[dst].set(jnp.where(ok, m.npts, 0), mode="drop")
+    # regenerate the dense index from scratch (all slots moved)
+    grid = jnp.full_like(m.grid, -1).at[
+        jnp.where(ok, grid_pos(live_keys, cfg), m.grid.shape[0])
+    ].set(slots, mode="drop")
     return VoxelMap(new_keys, pts, npts, jnp.zeros((), jnp.int32),
-                    m.drops + dropped)
+                    m.drops + dropped, grid)
 
 
 def clear(cfg: MapConfig) -> VoxelMap:
