@@ -241,7 +241,8 @@ def _gn_iterations(n_inner, nc, scal, qx, qy, qz, qm, cand_at):
 
 
 def _kernel(n_inner, nc, scal_ref, q_ref, qm_ref, c_ref, out_ref):
-    scal = scal_ref[:]
+    # SMEM only supports scalar loads on real TPU (Mosaic): index per element
+    scal = tuple(scal_ref[i] for i in range(6))
     vals = _gn_iterations(
         n_inner, nc, scal,
         q_ref[0], q_ref[1], q_ref[2], qm_ref[:],
@@ -283,13 +284,17 @@ def _unpack(row):
 
 
 def _kernel_batched(n_inner, nc, scal_ref, q_ref, qm_ref, c_ref, out_ref):
-    scal = scal_ref[0]
+    # scal and out ride as FULL arrays indexed by the grid position: their
+    # natural (1, 8)/(1, 128) blocks violate Mosaic's (8, 128)-divisible
+    # block rule for non-minor-complete shapes
+    s = pl.program_id(0)
+    scal = tuple(scal_ref[s, i] for i in range(6))
     vals = _gn_iterations(
         n_inner, nc, scal,
         q_ref[0, 0], q_ref[0, 1], q_ref[0, 2], qm_ref[0],
         lambda k, j: c_ref[0, k, j],
     )
-    out_ref[0, :16] = vals
+    out_ref[s, 0, :16] = vals
 
 
 @functools.partial(jax.jit, static_argnames=("n_inner", "interpret"))
@@ -307,10 +312,9 @@ def fused_gn_batched(q, qmask, cand, scal, n_inner: int,
         out = pl.pallas_call(
             functools.partial(_kernel_batched, n_inner, nc),
             grid=(s_dim,),
-            out_shape=jax.ShapeDtypeStruct((s_dim, LANE), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((s_dim, 1, LANE), jnp.float32),
             in_specs=[
-                pl.BlockSpec((1, 8), lambda s: (s, 0),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (S, 8) whole
                 pl.BlockSpec((1, 3, qr, LANE), lambda s: (s, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, qr, LANE), lambda s: (s, 0, 0),
@@ -318,8 +322,7 @@ def fused_gn_batched(q, qmask, cand, scal, n_inner: int,
                 pl.BlockSpec((1, 3, nc, qr, LANE), lambda s: (s, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, LANE), lambda s: (s, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # whole
             interpret=interpret,
         )(scal.astype(jnp.float32), q, qmask, cand)
-    return jax.vmap(_unpack)(out)
+    return jax.vmap(_unpack)(out[:, 0])
