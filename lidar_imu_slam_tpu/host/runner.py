@@ -133,14 +133,17 @@ class OdometryRunner:
         return self._seg_cfg
 
     def _maybe_rebuild(self, scan_index: int) -> None:
-        """Compact the hash table when eviction tombstones accumulate
-        (long sequences: tombstones lengthen probe chains)."""
+        """Compact the slab when eviction tombstones accumulate or the
+        append-only bump cursor nears capacity (long sequences: evicted
+        voxels reclaim their slots only through `rebuild`)."""
         if scan_index % 64 != 0 or scan_index == 0:
             return
         from ..ops import voxel_map
 
+        cap = self.cfg.map.capacity
         tombs = int(self.state.map.tombstones)
-        if tombs > self.cfg.map.capacity // 8:
+        cursor = int(self.state.map.next_slot)
+        if tombs > cap // 8 or (cursor > cap - cap // 4 and tombs > 0):
             self.state = self.state._replace(
                 map=voxel_map.rebuild(self.state.map, self.cfg.map)
             )
@@ -250,7 +253,10 @@ class LioRunner(OdometryRunner):
             return
         from ..ops import voxel_map
 
-        if int(self.state.odo.map.tombstones) > self.cfg.map.capacity // 8:
+        cap = self.cfg.map.capacity
+        tombs = int(self.state.odo.map.tombstones)
+        cursor = int(self.state.odo.map.next_slot)
+        if tombs > cap // 8 or (cursor > cap - cap // 4 and tombs > 0):
             odo = self.state.odo._replace(
                 map=voxel_map.rebuild(self.state.odo.map, self.cfg.map)
             )

@@ -463,8 +463,25 @@ def _fused_round(m, px, py, pz, mask, qmask_t, T, map_cfg: MapConfig,
     rms f64, iters i32, converged, stale)."""
     qr = px.shape[0] // 128
     wx, wy, wz = _transform_soa(T, px, py, pz)
-    anchor = T[:3, 3].astype(jnp.float32)
-    anchor64 = anchor.astype(jnp.float64)
+    # anchor = masked query centroid: guaranteed near the DATA (the guess
+    # translation is not, e.g. a far-from-origin map under an identity
+    # guess), which both the f32 centering and the packed-slab wrap window
+    # require
+    nq = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float64)
+    anchor_raw = jnp.stack(
+        [
+            jnp.sum(jnp.where(mask, wx, 0.0)) / nq,
+            jnp.sum(jnp.where(mask, wy, 0.0)) / nq,
+            jnp.sum(jnp.where(mask, wz, 0.0)) / nq,
+        ]
+    )
+    if map_cfg.packed_nn:
+        # quantize to the packed resolution so queries and candidates are
+        # centered on EXACTLY the same point as the packed decode
+        res = map_cfg.packed_resolution
+        anchor64 = jnp.round(anchor_raw / res) * res
+    else:
+        anchor64 = anchor_raw.astype(jnp.float32).astype(jnp.float64)
     q = jnp.stack(
         [
             (wx - anchor64[0]).astype(jnp.float32).reshape(qr, 128),
@@ -476,7 +493,14 @@ def _fused_round(m, px, py, pz, mask, qmask_t, T, map_cfg: MapConfig,
         [wx.astype(jnp.float32), wy.astype(jnp.float32),
          wz.astype(jnp.float32)], axis=-1,
     )
-    cand = voxel_map.gather_candidate_planes(m, world_f, mask, map_cfg, anchor)
+    if map_cfg.packed_nn:
+        cand = voxel_map.gather_candidate_planes_packed(
+            m, world_f, mask, map_cfg, anchor64
+        )
+    else:
+        cand = voxel_map.gather_candidate_planes(
+            m, world_f, mask, map_cfg, anchor64.astype(jnp.float32)
+        )
     scal = jnp.stack(
         [
             jnp.asarray(kernel_th, jnp.float64),

@@ -1,9 +1,10 @@
-"""Fixed-capacity voxel-hash local map in device memory (v2, int32 keys).
+"""Fixed-capacity voxel local map in device memory (v3: dense grid index +
+append-only slab).
 
 Replaces the reference's tsl::robin_map<Voxel, VoxelBlock> + TBB + shared
 mutexes (reference src/sensors/lidar/helpers/voxel_hash_map.cpp,
-voxel_block.cpp) with an open-addressing table of static shape that lives in
-HBM and is updated functionally inside jit:
+voxel_block.cpp) with a static-shape slab in HBM, updated functionally
+inside jit:
 
   keys   (C,)      int32  wrapped packed voxel coordinate, or EMPTY/DELETED
   points (C, K*3)  f32    per-voxel point slabs (flat rows: TPU tiling pads a
@@ -12,22 +13,24 @@ HBM and is updated functionally inside jit:
                           +inf so distance reductions self-mask without a
                           per-candidate count gather.
   npts   (C,)      int32  live point count per voxel (insert append cursor)
+  grid   (G,)      int32  dense toroidal index: wrapped voxel coord -> slot
 
-v2 design notes (all perf-measured on a live v5e):
+v3 design notes (all perf-measured on a live v5e):
   * int64 keys and u64 hash/fingerprint math were the round-1 bottleneck —
-    64-bit multiplies are emulated on TPU. Keys are now int32: the map is
+    64-bit multiplies are emulated on TPU. Keys are int32: the map is
     LOCAL (evicted beyond max_range, reference voxel_hash_map.cpp:146-171),
     so coordinates wrap to _KEY_BITS=10 bits/axis; two live voxels can only
     alias if the live span exceeds 1024 voxels per axis, which `create`
     rejects (needs voxel_size > max_range/255).
-  * Bounded-window probing: every key must live within _W=16 slots of its
-    hash bucket. Lookup is ONE (N, 16)-row gather compared against the query
-    key — no fingerprints, no scalar fallback loop (the round-1 fallback
-    gathered all N lanes per probe round and dominated insert cost). Keys
-    that cannot be placed within the window are dropped and counted
-    (`drops`); with eviction hygiene and load <= 0.5 drops stay at zero.
-  * Claimed slots only ever FILL windows, never free them mid-pass, so the
-    "present => within window" invariant survives concurrent claims.
+  * Lookup: the dense toroidal grid maps a wrapped voxel coordinate straight
+    to its table slot — ONE element gather + a key-verify gather, no probing
+    (v2's 16-wide hash-window row gathers were ~5x the element count and
+    vmapped badly). Stale grid entries (evictions don't clear them) fail the
+    key verify and read as misses — never corruption; insert self-heals.
+  * Allocation: append-only bump cursor (`next_slot`) — missing keys take
+    sequential slots by cumsum rank; no while_loop, no claim contest.
+    Evicted slots are reclaimed only by `rebuild` (periodic compaction,
+    driven by the host on the `tombstones` counter).
 
 Semantics mirrored from the reference:
   * voxel index = truncation toward zero, NOT floor
@@ -46,9 +49,8 @@ Deviations (documented, intentional):
     i.e. picks the FARTHEST candidate voxel — a bug we do not copy. It also
     returns Vec3d::Zero() when nothing is found (:98-99); we return an
     explicit validity mask.
-  * Deleted slots use a tombstone so windows stay intact; `rebuild` compacts
-    the table when tombstones accumulate.
-  * Probing is bounded by the 16-slot window (see above).
+  * Deleted slots are tombstoned in place; `rebuild` compacts the slab when
+    tombstones accumulate or the bump cursor nears capacity.
 """
 
 from __future__ import annotations
@@ -62,9 +64,16 @@ from ..config import MapConfig
 
 EMPTY = jnp.int32(-1)
 DELETED = jnp.int32(-2)
-_W = 16  # probe window (slots per hash bucket neighborhood)
 _KEY_BITS = 10  # wrapped bits per axis -> 30-bit packed key
 _KEY_MASK = (1 << _KEY_BITS) - 1
+# Packed-point NN slab: each stored point as ONE i64 (21 wrapped bits/axis
+# at `packed_resolution` meters) so the candidate fetch gathers 1 element
+# per point instead of 3 f32 / 1.5 i64-pairs — XLA TPU gather cost scales
+# with ELEMENTS fetched (~2 ns/elem measured on a v5e).
+_PK_BITS = 21
+_PK_MASK = (1 << _PK_BITS) - 1
+_PK_HALF = 1 << (_PK_BITS - 1)
+_PK_SENT = jnp.int64((1 << 63) - 1)  # invalid / unwritten lane
 # sort sentinel for invalid entries: packed i64 sort keys in
 # _voxel_group_sort reach just below 2^63, so the sentinel is int64 max
 _SENTINEL = jnp.int64((1 << 63) - 1)
@@ -75,13 +84,26 @@ class VoxelMap(NamedTuple):
     keys: jnp.ndarray  # (C,) int32
     points: jnp.ndarray  # (C, K*3) f32 — [x0,y0,z0, x1,y1,z1, ...], +inf pad
     npts: jnp.ndarray  # (C,) int32
-    tombstones: jnp.ndarray  # () int32 — rebuild hint
-    drops: jnp.ndarray  # () int32 — keys dropped by the bounded window
+    tombstones: jnp.ndarray  # () int32 — rebuild hint (evicted, unreclaimed)
+    drops: jnp.ndarray  # () int32 — voxels dropped: slab exhausted (bump
+    # cursor hit capacity before a rebuild could compact)
     grid: jnp.ndarray  # (Gx*Gy*Gz,) int32 dense toroidal index: voxel
     # coords (mod grid dims) -> table slot, -1 = absent. Entries may be
     # STALE (eviction does not clear them; slot reuse overwrites them):
     # every lookup verifies keys[slot] == key, so a stale entry is a
     # verified miss, never corruption. Insert self-heals stale entries.
+    next_slot: jnp.ndarray  # () int32 — bump-allocation cursor. Slots
+    # [0, next_slot) have been handed out since the last rebuild; evicted
+    # slots are NOT reused until `rebuild` compacts (append-only slab +
+    # periodic compaction — the open-addressing window/claim-contest design
+    # it replaces ran a gather-heavy while_loop per insert and vmapped
+    # catastrophically).
+    packed: jnp.ndarray  # (K, C) int64 packed-point mirror of `points`
+    # (one i64 per point, 21 wrapped bits/axis; _PK_SENT = invalid) used by
+    # the candidate-major NN fetch. (0, 0) when cfg.packed_nn is off.
+    # Tombstoned slots keep garbage here — they are unreachable (every
+    # lookup goes through the key-verified grid), and slots are only
+    # reused after `rebuild` resets the whole slab.
 
 
 def create(cfg: MapConfig) -> VoxelMap:
@@ -108,7 +130,50 @@ def create(cfg: MapConfig) -> VoxelMap:
         tombstones=jnp.zeros((), dtype=jnp.int32),
         drops=jnp.zeros((), dtype=jnp.int32),
         grid=jnp.full((gx * gy * gz,), -1, dtype=jnp.int32),
+        next_slot=jnp.zeros((), dtype=jnp.int32),
+        packed=(
+            jnp.full((k, c), _PK_SENT, dtype=jnp.int64)
+            if cfg.packed_nn
+            else jnp.zeros((0, 0), dtype=jnp.int64)
+        ),
     )
+
+
+def _pk_encode(x, y, z, res: float):
+    """World f32 coordinates -> packed i64 (21 wrapped bits/axis).
+
+    `res` is a power of two, so x/res is an exact f32 exponent shift; the
+    & mask wraps two's-complement negatives mod 2^21."""
+    xi = jnp.round(x / jnp.float32(res)).astype(jnp.int64) & _PK_MASK
+    yi = jnp.round(y / jnp.float32(res)).astype(jnp.int64) & _PK_MASK
+    zi = jnp.round(z / jnp.float32(res)).astype(jnp.int64) & _PK_MASK
+    return (xi << (2 * _PK_BITS)) | (yi << _PK_BITS) | zi
+
+
+def _pk_decode_rel(p, anchor_i, res: float):
+    """Packed i64 -> (x, y, z) f32 planes RELATIVE to the integer anchor
+    (ax, ay, az). _PK_SENT lanes decode to +inf (they self-lose distance
+    minima). Valid while |point - anchor| < 2^20 * res per axis."""
+    ax, ay, az = anchor_i
+    bad = p == _PK_SENT
+    inf = jnp.float32(jnp.inf)
+
+    def ch(v, a):
+        d = ((v - a + _PK_HALF) & _PK_MASK) - _PK_HALF
+        return d.astype(jnp.float32) * jnp.float32(res)
+
+    x = ch((p >> (2 * _PK_BITS)) & _PK_MASK, ax)
+    y = ch((p >> _PK_BITS) & _PK_MASK, ay)
+    z = ch(p & _PK_MASK, az)
+    return (jnp.where(bad, inf, x), jnp.where(bad, inf, y),
+            jnp.where(bad, inf, z))
+
+
+def _pk_anchor(anchor, res: float):
+    """Quantized integer anchor (i64 triple) for `_pk_decode_rel`."""
+    a = jnp.asarray(anchor)
+    ai = jnp.round(a.astype(jnp.float64) / res).astype(jnp.int64)
+    return ai[0], ai[1], ai[2]
 
 
 def grid_pos(keys: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
@@ -146,28 +211,6 @@ def unpack_key_rel(key: jnp.ndarray, origin_vox: jnp.ndarray) -> jnp.ndarray:
         d = (v - (origin_vox[..., axis] & _KEY_MASK)) & _KEY_MASK
         out.append(jnp.where(d >= half, d - (_KEY_MASK + 1), d))
     return jnp.stack(out, axis=-1).astype(jnp.int32)
-
-
-def _hash32(key: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """murmur3 finalizer, masked to table size (i32 throughout — u64
-    multiplies are emulated and were the round-1 hot spot)."""
-    k = key.astype(jnp.uint32)
-    k = (k ^ (k >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
-    k = (k ^ (k >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
-    k = k ^ (k >> jnp.uint32(16))
-    return (k & jnp.uint32(capacity - 1)).astype(jnp.int32)
-
-
-def _window_rows(table_keys: jnp.ndarray, h0: jnp.ndarray) -> jnp.ndarray:
-    """(N, W) probe windows: row q holds keys of slots h0[q]..h0[q]+W-1
-    (wrapped).
-
-    v3: a wrap-padded copy of the table + a vmapped dynamic_slice — XLA
-    lowers this to ONE gather with a contiguous W-slice (64 B rows). The v2
-    form materialized a (C, W) stack of 16 rolled copies of the whole table
-    (8 MB of HBM traffic at C=2^17) on EVERY lookup/insert round."""
-    padded = jnp.concatenate([table_keys, table_keys[:_W]])
-    return jax.vmap(lambda h: jax.lax.dynamic_slice(padded, (h,), (_W,)))(h0)
 
 
 def _lookup(m: "VoxelMap", qkeys: jnp.ndarray, qvalid: jnp.ndarray,
@@ -456,6 +499,63 @@ def gather_candidate_planes(m: VoxelMap, queries, qmask, cfg: MapConfig,
     return planes.reshape(3, nb * kn, n // 128, 128)
 
 
+def gather_candidate_planes_packed(m: VoxelMap, queries, qmask,
+                                   cfg: MapConfig, anchor):
+    """Candidate fetch for the fused GN kernel from the packed i64 slab.
+
+    Candidate-major: neighbor slots are computed in (NB, N) layout and each
+    of the Kn packed point rows is gathered directly in its output
+    orientation — no (N, NB*Kn, 3) -> (3, NB*Kn, N) relayout (that
+    transpose, not the gather, dominated `gather_candidate_planes` at
+    ~5 ms/fetch for 4096 x 80 on a v5e). One i64 element gathered per
+    candidate point instead of 1.5 (the i64-pair view of f32 rows).
+
+    `anchor` may be f64: the caller should center queries on the SAME
+    anchor (quantize to cfg.packed_resolution for exact consistency).
+    Returns (3, NB*Kn, N // 128, 128) f32 candidate planes centered on
+    `anchor`; +inf marks absent voxels / unused lanes (they self-lose the
+    kernel's running min). Decoded coordinates carry the +-res/2 encode
+    rounding (~0.06 mm at default max_range) — documented quantization.
+    """
+    k = cfg.max_points_per_voxel
+    kn = cfg.nn_points if cfg.nn_points else k
+    n = queries.shape[0]
+    assert n % 128 == 0, f"kernel layout needs N % 128 == 0 (got {n})"
+    if cfg.neighborhood == 8:
+        half = 0.5 * cfg.voxel_size
+        lo = voxel_of(queries.astype(jnp.float32) - half, cfg.voxel_size)
+        hi = voxel_of(queries.astype(jnp.float32) + half, cfg.voxel_size)
+        offs = jnp.stack(
+            jnp.meshgrid(
+                jnp.arange(2, dtype=jnp.int32),
+                jnp.arange(2, dtype=jnp.int32),
+                jnp.arange(2, dtype=jnp.int32),
+                indexing="ij",
+            ),
+            axis=-1,
+        ).reshape(8, 3)
+        nbr = jnp.where(
+            offs[:, None, :] == 0, lo[None, :, :], hi[None, :, :]
+        )  # (8, N, 3) candidate-major
+        nb = 8
+    else:
+        vox = voxel_of(queries, cfg.voxel_size)
+        nbr = vox[None, :, :] + _NEIGHBOR_OFFSETS_27[:, None, :]  # (27, N, 3)
+        nb = 27
+    nkeys = pack_key(nbr).reshape(-1)  # (NB*N,) nb-major
+    nvalid = jnp.tile(qmask, nb)
+    slots = _lookup(m, nkeys, nvalid, cfg).reshape(nb, n)
+    present = slots >= 0
+    safe = jnp.where(present, slots, 0)
+    pk = jnp.stack([m.packed[i][safe] for i in range(kn)])  # (Kn, NB, N)
+    pk = jnp.where(present[None], pk, _PK_SENT)
+    res = cfg.packed_resolution
+    x, y, z = _pk_decode_rel(pk, _pk_anchor(anchor, res), res)
+    planes = jnp.stack([x, y, z])  # (3, Kn, NB, N); candidate order is
+    # irrelevant — the kernel folds all NC candidates into a running min
+    return planes.reshape(3, kn * nb, n // 128, 128)
+
+
 def _gather_row_prefix(points: jnp.ndarray, slots: jnp.ndarray, width: int):
     """Gather `width`-float row prefixes of the (C, K*3) slab as i64 pairs
     when the widths are even (half the gathered elements), f32 otherwise."""
@@ -566,104 +666,43 @@ def nearest_neighbors(m: VoxelMap, queries, qmask, cfg: MapConfig):
 # Insert (reference voxel_hash_map.cpp:12-62)
 # ---------------------------------------------------------------------------
 
-_ALLOC_CAP = 16384  # compacted allocation lanes per insert call
+def _find_or_bump(m: VoxelMap, qkeys, active, cfg: MapConfig):
+    """Find-or-allocate a table slot for each active (unique) key.
 
+    Find: dense-grid lookup + key verification (one element gather). A
+    stale grid entry reads as missing and allocation self-heals it below.
+    Allocate: missing keys take sequential slots from the bump cursor —
+    rank-among-missing via one cumsum, no probing, no while_loop, no
+    contest (the hash-window claim loop this replaces cost ~2-6 ms/insert
+    in window gathers alone and serialized under vmap). Evicted slots are
+    reclaimed only by `rebuild` (append-only slab + periodic compaction).
+    Keys beyond capacity are dropped and counted.
 
-def _find_or_alloc(table_keys, qkeys, active, attempts: int = 4,
-                   alloc_cap: int | None = None, grid=None,
-                   cfg: MapConfig | None = None):
-    """Find-or-allocate a window slot for each active key.
+    Callers must pass UNIQUE active keys (group heads) — duplicates would
+    each allocate a slot.
 
-    Phase 1: resolve present keys — via the dense grid index + key verify
-    when `grid` is given (one element gather instead of the 16-wide window
-    rows), else via a window gather (rebuild path). A stale grid entry
-    reads as missing; phase 2's window probe then re-finds the key in the
-    table, so no duplicate is ever allocated. Phase 2: missing keys are
-    COMPACTED to `alloc_cap` lanes (allocation is the rare case at steady
-    state; compaction keeps the claim-contest gathers small) and claim free
-    window slots over up to `attempts` contest rounds. Duplicate missing
-    keys converge: the loser finds the winner's key on the next round. Keys
-    whose window has no free slot (or beyond alloc_cap) are dropped and
-    counted.
-
-    Returns (new_table_keys, slots (N,) i32 with -1 for dropped/inactive,
-             reused_tombstones (), dropped ()).
+    Returns (new_keys, slots (N,) i32 with -1 for dropped/inactive,
+             new_next_slot (), dropped ()).
     """
-    capacity = table_keys.shape[0]
-    n = qkeys.shape[0]
-    acap = min(n, _ALLOC_CAP if alloc_cap is None else alloc_cap)
-    h0 = _hash32(qkeys, capacity)
-
-    if grid is not None:
-        gp = grid_pos(qkeys, cfg)
-        gslot = grid[gp]
-        safe = jnp.maximum(gslot, 0)
-        found = active & (gslot >= 0) & (table_keys[safe] == qkeys)
-        slots = jnp.where(found, safe, jnp.int32(-1))
-    else:
-        rows = _window_rows(table_keys, h0)
-        matched = rows == qkeys[:, None]
-        found = active & jnp.any(matched, axis=1)
-        pos = jnp.argmax(matched, axis=1).astype(jnp.int32)
-        slots = jnp.where(found, (h0 + pos) & (capacity - 1), jnp.int32(-1))
-
+    capacity = m.keys.shape[0]
+    gp = grid_pos(qkeys, cfg)
+    gslot = m.grid[gp]
+    safe = jnp.maximum(gslot, 0)
+    found = active & (gslot >= 0) & (m.keys[safe] == qkeys)
     missing = active & ~found
-    # compact missing lanes to the front via one i32 sort
-    lane = jnp.arange(n, dtype=jnp.int32)
-    packed = jnp.where(missing, lane, (1 << 30) + lane)
-    order = jnp.sort(packed)[:acap]
-    mlane = order & ((1 << 30) - 1)  # (A,) source lane of each alloc slot
-    mactive = order < (1 << 30)
+
+    rank = jnp.cumsum(missing.astype(jnp.int32)) - 1
+    cand_slot = m.next_slot + rank
+    alloc = missing & (cand_slot < capacity)
     n_missing = jnp.sum(missing, dtype=jnp.int32)
-    dropped = jnp.maximum(n_missing - acap, 0)
+    new_next = jnp.minimum(m.next_slot + n_missing, capacity)
+    dropped = jnp.sum(missing & ~alloc, dtype=jnp.int32)
 
-    mkeys = qkeys[mlane]
-    mh0 = h0[mlane]
-    aidx = jnp.arange(acap, dtype=jnp.int32)
-
-    def body(carry):
-        att, table_keys, mslots, reused = carry
-        rows = _window_rows(table_keys, mh0)  # (A, W)
-        unresolved = mactive & (mslots == -1)
-        matched = rows == mkeys[:, None]
-        hit = unresolved & jnp.any(matched, axis=1)
-        hpos = jnp.argmax(matched, axis=1).astype(jnp.int32)
-        mslots = jnp.where(hit, (mh0 + hpos) & (capacity - 1), mslots)
-        unresolved = unresolved & ~hit
-
-        free = (rows == EMPTY) | (rows == DELETED)
-        has_free = jnp.any(free, axis=1)
-        fpos = jnp.argmax(free, axis=1).astype(jnp.int32)
-        claimer = unresolved & has_free
-        cslot = (mh0 + fpos) & (capacity - 1)
-        claims = jnp.full((capacity,), acap, jnp.int32)
-        claims = claims.at[jnp.where(claimer, cslot, capacity)].min(
-            aidx, mode="drop"
-        )
-        won = claimer & (claims[cslot] == aidx)
-        was_tomb = won & (table_keys[cslot] == DELETED)
-        reused = reused + jnp.sum(was_tomb, dtype=jnp.int32)
-        table_keys = table_keys.at[jnp.where(won, cslot, capacity)].set(
-            mkeys, mode="drop"
-        )
-        mslots = jnp.where(won, cslot, mslots)
-        # mark tombstone-reused slots negatively so the caller can reset rows
-        return att + 1, table_keys, mslots, reused
-
-    def cond(carry):
-        att, _, mslots, _ = carry
-        return (att < attempts) & jnp.any(mactive & (mslots == -1))
-
-    init = (jnp.int32(0), table_keys, jnp.full((acap,), -1, jnp.int32),
-            jnp.zeros((), jnp.int32))
-    _, table_keys, mslots, reused = jax.lax.while_loop(cond, body, init)
-
-    dropped = dropped + jnp.sum(mactive & (mslots == -1), dtype=jnp.int32)
-    # scatter resolved alloc slots back to their lanes
-    slots = slots.at[jnp.where(mactive, mlane, n)].set(
-        jnp.where(mactive, mslots, -1), mode="drop"
+    slots = jnp.where(found, safe, jnp.where(alloc, cand_slot, -1))
+    new_keys = m.keys.at[jnp.where(alloc, cand_slot, capacity)].set(
+        qkeys, mode="drop"
     )
-    return table_keys, slots, reused, dropped
+    return new_keys, slots, new_next, dropped
 
 
 def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
@@ -672,12 +711,12 @@ def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
 
     Within a voxel, earlier positions win the block's remaining capacity,
     matching the reference's sequential insert order
-    (voxel_hash_map.cpp:48-61). Only group heads probe/allocate; members
+    (voxel_hash_map.cpp:48-61). Only group heads look up/allocate; members
     take their head's slot via `head_pos`.
 
-    Invariant relied on: non-live slots (EMPTY or DELETED) always hold +inf
-    point rows and npts == 0 — maintained by create/evict_far/rebuild — so
-    claimed slots need no reset here.
+    Invariant relied on: slots at/above the bump cursor hold +inf point
+    rows and npts == 0 — maintained by create/rebuild; evict_far resets
+    rows of tombstoned slots — so newly allocated slots need no reset here.
     """
     k = cfg.max_points_per_voxel
     capacity = cfg.capacity
@@ -686,8 +725,8 @@ def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
         keys = pack_key(voxel_of(g.points, cfg.voxel_size))
 
     active_head = g.head & g.mask
-    new_keys, slots, reused, dropped = _find_or_alloc(
-        m.keys, keys, active_head, grid=m.grid, cfg=cfg
+    new_keys, slots, new_next, dropped = _find_or_bump(
+        m, keys, active_head, cfg
     )
     # refresh the dense index for every resolved head: newly allocated slots
     # gain their entry; stale entries (evicted-then-reinserted voxels, grid
@@ -712,8 +751,24 @@ def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
         pts_view = pts_view.at[flat + c].set(g.points[:, c], mode="drop")
     new_points = pts_view.reshape(capacity, k * 3)
     new_npts = m.npts.at[jnp.where(ok, slot, capacity)].max(pos + 1, mode="drop")
+    if cfg.packed_nn:
+        # mirror into the packed-point NN slab: one i64 scatter at the same
+        # (slot, pos) targets, (K, C) layout so the candidate-major fetch
+        # gathers rows without any relayout
+        pk = _pk_encode(
+            g.points[:, 0], g.points[:, 1], g.points[:, 2],
+            cfg.packed_resolution,
+        )
+        flat_pk = jnp.where(ok, pos * capacity + slot, capacity * k)
+        new_packed = (
+            m.packed.reshape(-1).at[flat_pk].set(pk, mode="drop")
+            .reshape(k, capacity)
+        )
+    else:
+        new_packed = m.packed
     return VoxelMap(new_keys, new_points, new_npts,
-                    m.tombstones - reused, m.drops + dropped, new_grid)
+                    m.tombstones, m.drops + dropped, new_grid, new_next,
+                    new_packed)
 
 
 def insert(m: VoxelMap, points, mask, cfg: MapConfig) -> VoxelMap:
@@ -776,6 +831,9 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
         # re-inserted voxel self-heals its entry in insert_grouped
         new_keys = jnp.where(far_block, DELETED, m.keys)
         new_points = jnp.where(far_block[:, None], jnp.inf, m.points)
+        # m.packed keeps garbage in tombstoned columns: those slots are
+        # unreachable (every lookup verifies keys through the grid) and are
+        # only reused after `rebuild` resets the whole slab
         return VoxelMap(
             new_keys,
             new_points,
@@ -783,6 +841,8 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
             m.tombstones + jnp.sum(far_block, dtype=jnp.int32),
             m.drops,
             m.grid,
+            m.next_slot,
+            m.packed,
         )
 
     pts = m.points.reshape(c, k, 3)  # cold path: exact_boundary only
@@ -801,6 +861,18 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
 
     emptied = occupied & (new_npts == 0) & far_block
     new_keys = jnp.where(emptied, DELETED, m.keys)
+    if m.packed.size:
+        # point rows moved: re-encode the packed slab from the compacted
+        # coordinates (cold path; encode of +inf pad lanes is masked out)
+        enc = _pk_encode(
+            pts_c[..., 0], pts_c[..., 1], pts_c[..., 2],
+            cfg.packed_resolution,
+        )  # (C, K)
+        new_packed = jnp.where(
+            jnp.swapaxes(live_c, 0, 1), jnp.swapaxes(enc, 0, 1), _PK_SENT
+        )
+    else:
+        new_packed = m.packed
     return VoxelMap(
         new_keys,
         pts_c.reshape(c, k * 3),
@@ -808,6 +880,8 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
         m.tombstones + jnp.sum(emptied, dtype=jnp.int32),
         m.drops,
         m.grid,
+        m.next_slot,
+        new_packed,
     )
 
 
@@ -842,28 +916,40 @@ def num_voxels(m: VoxelMap) -> jnp.ndarray:
 
 
 def rebuild(m: VoxelMap, cfg: MapConfig) -> VoxelMap:
-    """Compact the table into a fresh one (clears tombstones).
+    """Compact live slots to the front of the slab (reclaims evicted slots).
 
-    Host may call this when `tombstones` grows large; windows are re-derived
-    from scratch.
+    With the append-only bump allocator, evicted slots are reclaimed only
+    here: live slots move (order-preserving) to [0, n_live), the dense grid
+    index is regenerated from scratch, and the bump cursor resets to n_live.
+    Host calls this when `tombstones` grows or the cursor nears capacity.
     """
     occupied = m.keys >= 0
-    fresh_keys = jnp.full_like(m.keys, EMPTY)
     live_keys = jnp.where(occupied, m.keys, 0)
-    new_keys, slots, _, dropped = _find_or_alloc(
-        fresh_keys, live_keys, occupied,
-        alloc_cap=m.keys.shape[0],
-    )
-    ok = occupied & (slots >= 0)
-    dst = jnp.where(ok, slots, cfg.capacity)
+    rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+    dst = jnp.where(occupied, rank, cfg.capacity)
+    new_keys = jnp.full_like(m.keys, EMPTY).at[dst].set(m.keys, mode="drop")
     pts = jnp.full_like(m.points, jnp.inf).at[dst].set(m.points, mode="drop")
-    npts = jnp.zeros_like(m.npts).at[dst].set(jnp.where(ok, m.npts, 0), mode="drop")
+    npts = jnp.zeros_like(m.npts).at[dst].set(
+        jnp.where(occupied, m.npts, 0), mode="drop"
+    )
     # regenerate the dense index from scratch (all slots moved)
     grid = jnp.full_like(m.grid, -1).at[
-        jnp.where(ok, grid_pos(live_keys, cfg), m.grid.shape[0])
-    ].set(slots, mode="drop")
+        jnp.where(occupied, grid_pos(live_keys, cfg), m.grid.shape[0])
+    ].set(rank, mode="drop")
+    n_live = jnp.sum(occupied, dtype=jnp.int32)
+    if m.packed.size:
+        # move packed columns with their slots; freed columns reset to the
+        # sentinel (restores the "slots at/above the cursor are pristine"
+        # invariant insert_grouped relies on). Cold path: scatter row-major
+        # via a transpose.
+        pk_t = jnp.full(
+            (m.packed.shape[1], m.packed.shape[0]), _PK_SENT, jnp.int64
+        ).at[dst].set(jnp.swapaxes(m.packed, 0, 1), mode="drop")
+        packed = jnp.swapaxes(pk_t, 0, 1)
+    else:
+        packed = m.packed
     return VoxelMap(new_keys, pts, npts, jnp.zeros((), jnp.int32),
-                    m.drops + dropped, grid)
+                    m.drops, grid, n_live, packed)
 
 
 def clear(cfg: MapConfig) -> VoxelMap:
