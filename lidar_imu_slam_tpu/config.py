@@ -94,22 +94,22 @@ class MapConfig:
     # livox_dense, bench.py) select 8 where inter-scan motion fits the
     # margin.
     neighborhood: int = 27
-    # Maintain the packed-point NN slab (one i64 per stored point, 21
-    # wrapped bits/axis at `packed_resolution` meters ~0.1 mm): the fused
-    # Pallas ICP fetches candidates from it with 1 gathered element per
-    # point instead of 1.5 (i64-pair f32 rows) and needs no layout
-    # transpose. Costs one extra i64 scatter per insert.
+    # Maintain the packed-point NN slab (one i32 per stored point: 10 bits
+    # per axis of voxel-local position, quantization ~voxel_size/341 per
+    # axis — ~3 mm at 1 m voxels): the fused Pallas ICP fetches candidates
+    # from it as whole rows already in kernel layout (1 gathered element
+    # per point instead of 3 f32) and needs no relayout transpose. Costs
+    # one extra i32 scatter per insert.
     packed_nn: bool = True
 
     @property
-    def packed_resolution(self) -> float:
-        """Packed-point quantization step (m): the smallest power of two
-        whose 21-bit span covers 2.5x max_range (+ slack) around the
-        anchor. 2^-13 m (~0.12 mm) for max_range <= ~98 m."""
-        import math
-
-        need = (2.5 * self.max_range + 16.0) / (1 << 21)
-        return 2.0 ** math.ceil(math.log2(need))
+    def packed_width(self) -> int:
+        """Points per voxel mirrored into the packed NN slab (and therefore
+        the candidate count per voxel in the fused ICP fetch): `nn_points`
+        when set, else all `max_points_per_voxel`. The slab is built at
+        this width because the fetch must gather WHOLE rows (prefix slices
+        hit an XLA TPU gather slow path ~30x slower)."""
+        return self.nn_points if self.nn_points else self.max_points_per_voxel
 
     @property
     def grid_dims(self) -> tuple:

@@ -465,8 +465,7 @@ def _fused_round(m, px, py, pz, mask, qmask_t, T, map_cfg: MapConfig,
     wx, wy, wz = _transform_soa(T, px, py, pz)
     # anchor = masked query centroid: guaranteed near the DATA (the guess
     # translation is not, e.g. a far-from-origin map under an identity
-    # guess), which both the f32 centering and the packed-slab wrap window
-    # require
+    # guess), which the f32 centering requires
     nq = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float64)
     anchor_raw = jnp.stack(
         [
@@ -475,13 +474,9 @@ def _fused_round(m, px, py, pz, mask, qmask_t, T, map_cfg: MapConfig,
             jnp.sum(jnp.where(mask, wz, 0.0)) / nq,
         ]
     )
-    if map_cfg.packed_nn:
-        # quantize to the packed resolution so queries and candidates are
-        # centered on EXACTLY the same point as the packed decode
-        res = map_cfg.packed_resolution
-        anchor64 = jnp.round(anchor_raw / res) * res
-    else:
-        anchor64 = anchor_raw.astype(jnp.float32).astype(jnp.float64)
+    # (the voxel-local packed decode accepts any anchor — queries and
+    # candidates are centered on this same value on both paths)
+    anchor64 = anchor_raw.astype(jnp.float32).astype(jnp.float64)
     q = jnp.stack(
         [
             (wx - anchor64[0]).astype(jnp.float32).reshape(qr, 128),

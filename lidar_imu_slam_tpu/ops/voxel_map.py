@@ -66,14 +66,23 @@ EMPTY = jnp.int32(-1)
 DELETED = jnp.int32(-2)
 _KEY_BITS = 10  # wrapped bits per axis -> 30-bit packed key
 _KEY_MASK = (1 << _KEY_BITS) - 1
-# Packed-point NN slab: each stored point as ONE i64 (21 wrapped bits/axis
-# at `packed_resolution` meters) so the candidate fetch gathers 1 element
-# per point instead of 3 f32 / 1.5 i64-pairs — XLA TPU gather cost scales
-# with ELEMENTS fetched (~2 ns/elem measured on a v5e).
-_PK_BITS = 21
-_PK_MASK = (1 << _PK_BITS) - 1
-_PK_HALF = 1 << (_PK_BITS - 1)
-_PK_SENT = jnp.int64((1 << 63) - 1)  # invalid / unwritten lane
+# Packed-point NN slab: each stored point as ONE i32 of VOXEL-LOCAL
+# position (10 bits/axis across a 3-voxel window centered on the key
+# voxel). XLA TPU gather AND scatter cost scale with element COUNT, so one
+# i32 per point beats 3 f32 — and an i64 scatter lowers ~10x worse than
+# i32 (two u32 planes; measured 2.24 vs 0.23 ms for the same 32k updates).
+# The fetch decoder reconstructs world coordinates from the candidate's
+# voxel index, known exactly at fetch time from the neighbor key being
+# queried — so there is no wrap window or absolute resolution limit;
+# quantization is _PKL_SPAN*voxel_size/1023 (~3 mm at 1 m voxels), buried
+# under cm-scale ICP residuals. The 3-voxel window absorbs points whose
+# stored key is up to one voxel off their true voxel (pre-correction
+# insert keys — models/kiss_icp.py step 8); farther outliers clamp.
+_PKL_BITS = 10
+_PKL_MAX = (1 << _PKL_BITS) - 1  # 1023
+_PKL_SPAN = 3.0  # encode window width in voxels, centered on the key voxel
+_PK_SENT32 = jnp.int32(-1)  # invalid / unwritten lane (valid values use
+# only the low 30 bits, so any negative value marks invalid)
 # sort sentinel for invalid entries: packed i64 sort keys in
 # _voxel_group_sort reach just below 2^63, so the sentinel is int64 max
 _SENTINEL = jnp.int64((1 << 63) - 1)
@@ -98,12 +107,17 @@ class VoxelMap(NamedTuple):
     # periodic compaction — the open-addressing window/claim-contest design
     # it replaces ran a gather-heavy while_loop per insert and vmapped
     # catastrophically).
-    packed: jnp.ndarray  # (K, C) int64 packed-point mirror of `points`
-    # (one i64 per point, 21 wrapped bits/axis; _PK_SENT = invalid) used by
-    # the candidate-major NN fetch. (0, 0) when cfg.packed_nn is off.
-    # Tombstoned slots keep garbage here — they are unreachable (every
-    # lookup goes through the key-verified grid), and slots are only
-    # reused after `rebuild` resets the whole slab.
+    packed: jnp.ndarray  # (C, Kp) int32 voxel-local packed-point mirror of
+    # `points` (10 bits/axis in a 3-voxel window around the key voxel;
+    # negative = invalid), rows limited to the first Kp = cfg.packed_width
+    # points per voxel. The fused-ICP candidate fetch gathers FULL rows
+    # with the slice dimension emitted FIRST (gather offset_dims=(0,)) —
+    # XLA produces the kernel's candidate-major layout directly; neither
+    # per-element gathers (~5 ms/fetch, access-count bound) nor a relayout
+    # transpose is needed. (0, 0) when cfg.packed_nn is off. Tombstoned
+    # slots keep garbage here — they are unreachable (every lookup goes
+    # through the key-verified grid), and slots are only reused after
+    # `rebuild` resets the slab.
 
 
 def create(cfg: MapConfig) -> VoxelMap:
@@ -132,48 +146,54 @@ def create(cfg: MapConfig) -> VoxelMap:
         grid=jnp.full((gx * gy * gz,), -1, dtype=jnp.int32),
         next_slot=jnp.zeros((), dtype=jnp.int32),
         packed=(
-            jnp.full((k, c), _PK_SENT, dtype=jnp.int64)
+            jnp.full((c, cfg.packed_width), _PK_SENT32, dtype=jnp.int32)
             if cfg.packed_nn
-            else jnp.zeros((0, 0), dtype=jnp.int64)
+            else jnp.zeros((0, 0), dtype=jnp.int32)
         ),
     )
 
 
-def _pk_encode(x, y, z, res: float):
-    """World f32 coordinates -> packed i64 (21 wrapped bits/axis).
-
-    `res` is a power of two, so x/res is an exact f32 exponent shift; the
-    & mask wraps two's-complement negatives mod 2^21."""
-    xi = jnp.round(x / jnp.float32(res)).astype(jnp.int64) & _PK_MASK
-    yi = jnp.round(y / jnp.float32(res)).astype(jnp.int64) & _PK_MASK
-    zi = jnp.round(z / jnp.float32(res)).astype(jnp.int64) & _PK_MASK
-    return (xi << (2 * _PK_BITS)) | (yi << _PK_BITS) | zi
-
-
-def _pk_decode_rel(p, anchor_i, res: float):
-    """Packed i64 -> (x, y, z) f32 planes RELATIVE to the integer anchor
-    (ax, ay, az). _PK_SENT lanes decode to +inf (they self-lose distance
-    minima). Valid while |point - anchor| < 2^20 * res per axis."""
-    ax, ay, az = anchor_i
-    bad = p == _PK_SENT
-    inf = jnp.float32(jnp.inf)
-
-    def ch(v, a):
-        d = ((v - a + _PK_HALF) & _PK_MASK) - _PK_HALF
-        return d.astype(jnp.float32) * jnp.float32(res)
-
-    x = ch((p >> (2 * _PK_BITS)) & _PK_MASK, ax)
-    y = ch((p >> _PK_BITS) & _PK_MASK, ay)
-    z = ch(p & _PK_MASK, az)
-    return (jnp.where(bad, inf, x), jnp.where(bad, inf, y),
-            jnp.where(bad, inf, z))
+def _pkl_wrapped_key_voxel(keys, axis_shift: int, vox_axis):
+    """True (unwrapped) voxel coordinate of a wrapped key axis field, using
+    the point's own voxel as the unwrap reference (the stored key is at
+    most one voxel off its point — pre-correction insert keys)."""
+    kf = (keys >> axis_shift) & _KEY_MASK
+    half = 1 << (_KEY_BITS - 1)
+    d = (kf - (vox_axis & _KEY_MASK) + half) & _KEY_MASK
+    return vox_axis + (d - half)
 
 
-def _pk_anchor(anchor, res: float):
-    """Quantized integer anchor (i64 triple) for `_pk_decode_rel`."""
-    a = jnp.asarray(anchor)
-    ai = jnp.round(a.astype(jnp.float64) / res).astype(jnp.int64)
-    return ai[0], ai[1], ai[2]
+def _pk_encode(x, y, z, keys, voxel_size: float):
+    """World f32 coordinates + their stored voxel keys -> packed i32
+    (10 bits/axis of position within the 3-voxel window centered on the
+    key voxel). Positions outside the window clamp to its edge."""
+    inv = jnp.float32(_PKL_MAX / (_PKL_SPAN * voxel_size))
+    halfspan = jnp.float32(0.5 * _PKL_SPAN * voxel_size)
+    vs = jnp.float32(voxel_size)
+
+    def ch(c, shift):
+        vox_axis = (c / vs).astype(jnp.int32)  # trunc toward zero
+        kv = _pkl_wrapped_key_voxel(keys, shift, vox_axis)
+        local = c - kv.astype(jnp.float32) * vs
+        q = jnp.round((local + halfspan) * inv).astype(jnp.int32)
+        return jnp.clip(q, 0, _PKL_MAX)
+
+    qx = ch(x, 2 * _KEY_BITS)
+    qy = ch(y, _KEY_BITS)
+    qz = ch(z, 0)
+    return (qx << (2 * _PKL_BITS)) | (qy << _PKL_BITS) | qz
+
+
+def _pk_decode_axis(p, shift: int, kv_axis, aoff, voxel_size: float):
+    """One axis of the packed decode: candidate world coordinate RELATIVE
+    to the anchor, given the candidate's reference-voxel offset `kv_axis`
+    (i32, relative to the anchor voxel) and the scalar anchor remainder
+    `aoff` (f32). Invalid lanes (p < 0) are the caller's to mask."""
+    scale = jnp.float32(_PKL_SPAN * voxel_size / _PKL_MAX)
+    halfspan = jnp.float32(0.5 * _PKL_SPAN * voxel_size)
+    q = (p >> shift) & _PKL_MAX
+    local = q.astype(jnp.float32) * scale - halfspan
+    return kv_axis.astype(jnp.float32) * jnp.float32(voxel_size) + local + aoff
 
 
 def grid_pos(keys: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
@@ -501,24 +521,27 @@ def gather_candidate_planes(m: VoxelMap, queries, qmask, cfg: MapConfig,
 
 def gather_candidate_planes_packed(m: VoxelMap, queries, qmask,
                                    cfg: MapConfig, anchor):
-    """Candidate fetch for the fused GN kernel from the packed i64 slab.
+    """Candidate fetch for the fused GN kernel from the packed i32 slab.
 
-    Candidate-major: neighbor slots are computed in (NB, N) layout and each
-    of the Kn packed point rows is gathered directly in its output
-    orientation — no (N, NB*Kn, 3) -> (3, NB*Kn, N) relayout (that
-    transpose, not the gather, dominated `gather_candidate_planes` at
-    ~5 ms/fetch for 4096 x 80 on a v5e). One i64 element gathered per
-    candidate point instead of 1.5 (the i64-pair view of f32 rows).
+    ONE gather with the slice dimension emitted FIRST (offset_dims=(0,)):
+    XLA produces (Kp, NB*N) directly — already the kernel's candidate-major
+    orientation, so neither the (N, NB*K, 3) -> planes relayout transpose
+    (~5 ms/fetch at 4096 x 80 on a v5e) nor per-element candidate-major
+    gathers (also ~5 ms: gather cost scales with ACCESS COUNT, and element
+    gathers forfeit row locality) is needed. Rows must be gathered WHOLE —
+    prefix slices (slice_sizes < the row width) hit an XLA TPU slow path
+    measured at ~30x — which is why the slab itself is built Kp wide.
 
-    `anchor` may be f64: the caller should center queries on the SAME
-    anchor (quantize to cfg.packed_resolution for exact consistency).
-    Returns (3, NB*Kn, N // 128, 128) f32 candidate planes centered on
-    `anchor`; +inf marks absent voxels / unused lanes (they self-lose the
-    kernel's running min). Decoded coordinates carry the +-res/2 encode
-    rounding (~0.06 mm at default max_range) — documented quantization.
+    The voxel-local decode reconstructs each candidate's world position
+    from the neighbor voxel being queried (known exactly here), so any
+    `anchor` works (may be f64); the caller must center its queries on the
+    SAME anchor. Returns (3, NB*Kp, N // 128, 128) f32 candidate planes
+    centered on `anchor`; +inf marks absent voxels / unused lanes (they
+    self-lose the kernel's running min). Decoded coordinates carry the
+    encode quantization (_PKL_SPAN*voxel_size/1023 per axis, ~3 mm at 1 m
+    voxels) — documented deviation, buried under cm-scale ICP residuals.
     """
-    k = cfg.max_points_per_voxel
-    kn = cfg.nn_points if cfg.nn_points else k
+    kn = cfg.packed_width
     n = queries.shape[0]
     assert n % 128 == 0, f"kernel layout needs N % 128 == 0 (got {n})"
     if cfg.neighborhood == 8:
@@ -544,15 +567,34 @@ def gather_candidate_planes_packed(m: VoxelMap, queries, qmask,
         nb = 27
     nkeys = pack_key(nbr).reshape(-1)  # (NB*N,) nb-major
     nvalid = jnp.tile(qmask, nb)
-    slots = _lookup(m, nkeys, nvalid, cfg).reshape(nb, n)
+    slots = _lookup(m, nkeys, nvalid, cfg)  # (NB*N,)
     present = slots >= 0
     safe = jnp.where(present, slots, 0)
-    pk = jnp.stack([m.packed[i][safe] for i in range(kn)])  # (Kn, NB, N)
-    pk = jnp.where(present[None], pk, _PK_SENT)
-    res = cfg.packed_resolution
-    x, y, z = _pk_decode_rel(pk, _pk_anchor(anchor, res), res)
-    planes = jnp.stack([x, y, z])  # (3, Kn, NB, N); candidate order is
-    # irrelevant — the kernel folds all NC candidates into a running min
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    pk = jax.lax.gather(
+        m.packed, safe[:, None], dimension_numbers=dn, slice_sizes=(1, kn)
+    )  # (Kp, NB*N) — slice dim first: no relayout
+    pk = jnp.where(present[None, :], pk, _PK_SENT32)
+    # voxel-local decode: each candidate's reference voxel IS the neighbor
+    # voxel queried (`nbr` — the lookup key-verified it), so its world
+    # position relative to the anchor is kv_rel*vs + local + aoff, all
+    # small f32 quantities regardless of how far the map sits from the
+    # origin
+    vs = cfg.voxel_size
+    a64 = jnp.asarray(anchor, jnp.float64)
+    av = jnp.round(a64 / vs).astype(jnp.int32)  # (3,) anchor voxel
+    aoff = (av.astype(jnp.float64) * vs - a64).astype(jnp.float32)  # (3,)
+    kv_rel = (nbr - av[None, None, :]).reshape(-1, 3)  # (NB*N, 3)
+    bad = pk < 0
+    inf = jnp.float32(jnp.inf)
+    planes = jnp.stack([
+        jnp.where(bad, inf, _pk_decode_axis(
+            pk, shift, kv_rel[None, :, axis], aoff[axis], vs))
+        for axis, shift in ((0, 2 * _PKL_BITS), (1, _PKL_BITS), (2, 0))
+    ])  # (3, Kp, NB*N); candidate order is irrelevant — the kernel folds
+    # all NC candidates into a running min
     return planes.reshape(3, kn * nb, n // 128, 128)
 
 
@@ -752,17 +794,20 @@ def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
     new_points = pts_view.reshape(capacity, k * 3)
     new_npts = m.npts.at[jnp.where(ok, slot, capacity)].max(pos + 1, mode="drop")
     if cfg.packed_nn:
-        # mirror into the packed-point NN slab: one i64 scatter at the same
-        # (slot, pos) targets, (K, C) layout so the candidate-major fetch
-        # gathers rows without any relayout
+        # mirror into the packed-point NN slab: one i32 scatter at the same
+        # (slot, pos) targets, limited to the first Kp points per voxel.
+        # Encode against the STORED key (the group key, possibly one voxel
+        # off the point's true voxel for pre-correction insert keys) — the
+        # fetch decodes against the same key.
+        kp = cfg.packed_width
         pk = _pk_encode(
             g.points[:, 0], g.points[:, 1], g.points[:, 2],
-            cfg.packed_resolution,
+            keys, cfg.voxel_size,
         )
-        flat_pk = jnp.where(ok, pos * capacity + slot, capacity * k)
+        flat_pk = jnp.where(ok & (pos < kp), slot * kp + pos, capacity * kp)
         new_packed = (
             m.packed.reshape(-1).at[flat_pk].set(pk, mode="drop")
-            .reshape(k, capacity)
+            .reshape(capacity, kp)
         )
     else:
         new_packed = m.packed
@@ -863,14 +908,14 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
     new_keys = jnp.where(emptied, DELETED, m.keys)
     if m.packed.size:
         # point rows moved: re-encode the packed slab from the compacted
-        # coordinates (cold path; encode of +inf pad lanes is masked out)
+        # coordinates (cold path; encode of +inf pad lanes is masked out).
+        # Tombstoned rows keep garbage keys — they are unreachable.
+        kp = cfg.packed_width
         enc = _pk_encode(
             pts_c[..., 0], pts_c[..., 1], pts_c[..., 2],
-            cfg.packed_resolution,
+            jnp.maximum(new_keys, 0)[:, None], cfg.voxel_size,
         )  # (C, K)
-        new_packed = jnp.where(
-            jnp.swapaxes(live_c, 0, 1), jnp.swapaxes(enc, 0, 1), _PK_SENT
-        )
+        new_packed = jnp.where(live_c[:, :kp], enc[:, :kp], _PK_SENT32)
     else:
         new_packed = m.packed
     return VoxelMap(
@@ -938,14 +983,12 @@ def rebuild(m: VoxelMap, cfg: MapConfig) -> VoxelMap:
     ].set(rank, mode="drop")
     n_live = jnp.sum(occupied, dtype=jnp.int32)
     if m.packed.size:
-        # move packed columns with their slots; freed columns reset to the
+        # move packed rows with their slots; freed rows reset to the
         # sentinel (restores the "slots at/above the cursor are pristine"
-        # invariant insert_grouped relies on). Cold path: scatter row-major
-        # via a transpose.
-        pk_t = jnp.full(
-            (m.packed.shape[1], m.packed.shape[0]), _PK_SENT, jnp.int64
-        ).at[dst].set(jnp.swapaxes(m.packed, 0, 1), mode="drop")
-        packed = jnp.swapaxes(pk_t, 0, 1)
+        # invariant insert_grouped relies on)
+        packed = jnp.full_like(m.packed, _PK_SENT32).at[dst].set(
+            m.packed, mode="drop"
+        )
     else:
         packed = m.packed
     return VoxelMap(new_keys, pts, npts, jnp.zeros((), jnp.int32),
