@@ -32,14 +32,19 @@ PTS = 131072
 
 
 def make_cfg(neigh=8):
+    backend = os.environ.get("LIS_GN_BACKEND", "xla")
+    nn_points = int(os.environ.get("LIS_NN_POINTS", "0"))
     return cfgmod.PipelineConfig(
         lidar=cfgmod.LidarConfig(
             num_scan_lines=64, max_points=PTS, min_range=2.5, max_range=80.0
         ),
         map=cfgmod.MapConfig(
-            voxel_size=1.0, max_range=80.0, capacity=1 << 17, neighborhood=neigh
+            voxel_size=1.0, max_range=80.0, capacity=1 << 17, neighborhood=neigh,
+            nn_points=nn_points,
         ),
-        icp=cfgmod.IcpConfig(max_map_points=32768, max_source_points=4096),
+        icp=cfgmod.IcpConfig(
+            max_map_points=32768, max_source_points=4096, gn_backend=backend,
+        ),
     )
 
 
