@@ -1,19 +1,32 @@
-"""Headline benchmark: 64-beam scans/sec through the full odometry step.
+"""Headline benchmark: 64-beam scans/sec through the full odometry pipeline.
 
 Runs the flagship KISS-ICP pipeline (the reference's wired end-to-end path)
 on synthetic 64-beam-scale scans on whatever accelerator JAX sees (the real
-TPU under the driver), in two modes:
+TPU under the driver). ALL timed modes are END-TO-END: the per-scan device
+preprocess (range gate, time sort, packing) runs INSIDE the timed loop —
+on one chip it serializes with the registration step, so excluding it (as
+the round-2 bench did) overstated throughput by ~45% (round-2 VERDICT
+weak #2).
 
-  * single-stream: sequential per-scan latency (p50 derived)
-  * multi-stream:  S independent SLAM streams vmapped into one program —
-    BASELINE.json's stated scale target ("or 256 concurrent real-time SLAM
-    streams via vmap"); aggregate scans/s is streams * steps / time.
+Modes:
+  * single-stream: sequential host loop, preprocess + step per scan
+  * latency: same loop with a per-scan host sync -> MEASURED p50/p95 step
+    latency (includes one host<->device round-trip per scan; on the axon
+    tunnel that round-trip is ~45 ms and dominates — the throughput number
+    is the honest rate, the percentiles bound worst-case per-scan latency)
+  * device-pipelined: the whole scan chain as ONE lax.scan program whose
+    body is preprocess + register (the shape a production TPU feed takes:
+    zero per-step host dispatch)
+  * multi-stream: S independent SLAM streams vmapped into one program,
+    preprocess included — BASELINE.json's "256 concurrent real-time SLAM
+    streams" scale axis; aggregate scans/s = streams * steps / time
+  * LIO: the lidar-inertial step (EKF predict + IMU deskew + ICP)
+  * Monte-Carlo: S perturbed ensemble streams at VLP-16 scale
 
-Prints ONE JSON line with the aggregate throughput as the headline metric:
+Prints ONE JSON line with the best end-to-end aggregate as the headline:
 
-  {"metric": "scans_per_sec_64beam", "value": N, "unit": "scans/s",
-   "vs_baseline": N / 1000.0,
-   "extra": {"single_stream_scans_per_sec": ..., "streams": S, ...}}
+  {"metric": "scans_per_sec_64beam_e2e", "value": N, "unit": "scans/s",
+   "vs_baseline": N / 1000.0, "extra": {...}}
 
 vs_baseline is against the BASELINE.json north-star of 1,000 64-beam
 scans/sec/chip (the reference publishes no numbers of its own — BASELINE.md).
@@ -26,31 +39,32 @@ import time
 import numpy as np
 
 
-def _make_inputs(cfg, n_scans, points_per_scan):
+def _make_raws(cfg, n_scans, points_per_scan):
+    """Host-resident packed RawScans (numpy pytrees): upload + device
+    preprocess happen inside the timed loops."""
     import jax
 
     from lidar_imu_slam_tpu.host import synthetic
-    from lidar_imu_slam_tpu.ops.preprocess import pack_raw_scan, preprocess_scan
+    from lidar_imu_slam_tpu.ops.preprocess import pack_raw_scan
 
     world = synthetic.make_world(seed=0, n_points=600_000, extent=(160.0, 40.0, 12.0))
     gt = synthetic.make_trajectory(n_poses=n_scans, speed=8.0, yaw_rate=0.01, dt=0.1)
-    pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
-    scans = []
+    raws = []
     for i, pose in enumerate(gt):
         pts = synthetic.render_scan(
             world, pose, points_per_scan, 2.5, 80.0, noise=0.02, seed=i
         )
         raw = pack_raw_scan(pts, stamp=i * 0.1, max_points=points_per_scan)
-        scans.append(jax.block_until_ready(pre(raw)))
-    return scans
+        raws.append(jax.tree.map(np.asarray, raw))
+    return raws
 
 
 def main():
     import jax
 
     from lidar_imu_slam_tpu import config as cfgmod
-    from lidar_imu_slam_tpu import parallel
     from lidar_imu_slam_tpu.models import kiss_icp
+    from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
 
     n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     n_streams = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -72,59 +86,42 @@ def main():
             estimation_threshold=5e-4,
         ),
     )
-    scans = _make_inputs(cfg, n_scans, points_per_scan)
+    raws = _make_raws(cfg, n_scans, points_per_scan)
+    pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
 
-    # --- single stream -----------------------------------------------------
+    # --- single stream, end-to-end ------------------------------------------
     state = kiss_icp.init_state(cfg)
     for i in range(2):  # warmup: compile + map fill-in
-        state, out = kiss_icp.register_frame_step(state, scans[i], cfg)
+        state, out = kiss_icp.register_frame_step(state, pre(raws[i]), cfg)
     np.asarray(out.pose)
     t0 = time.perf_counter()
     for i in range(2, n_scans):
-        state, out = kiss_icp.register_frame_step(state, scans[i], cfg)
+        state, out = kiss_icp.register_frame_step(state, pre(raws[i]), cfg)
     np.asarray(out.pose)  # true host sync (block_until_ready does not
     # synchronize through the axon tunnel)
     single = (n_scans - 2) / (time.perf_counter() - t0)
 
-    # --- multi-stream (vmap) -----------------------------------------------
-    # fixed-unroll ICP schedule: a vmapped while_loop runs every stream to
-    # the slowest stream's iteration count (negative scaling in round 1)
-    bcfg = parallel.streams.batch_config(cfg)
-    states = parallel.streams.init_batched_state(bcfg, n_streams)
+    # --- measured per-scan latency (per-scan host sync) ----------------------
+    lat_state = kiss_icp.init_state(cfg)
+    lat = []
+    for i in range(n_scans):
+        t0 = time.perf_counter()
+        lat_state, out = kiss_icp.register_frame_step(lat_state, pre(raws[i]), cfg)
+        np.asarray(out.pose)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat[2:]) * 1000.0  # drop warm-up/compile scans
+    p50, p95 = float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
 
-    def batch_scan(i):
-        # distinct scans per stream (staggered, clamped): wrapping would
-        # teleport a stream mid-trajectory and drive its ICP to the
-        # iteration cap, stalling the whole batch (vmapped while_loops run
-        # to the max iteration count across streams)
-        idx = [min(i + s, n_scans - 1) for s in range(n_streams)]
-        return jax.tree.map(
-            lambda *xs: jax.numpy.stack(xs), *[scans[j] for j in idx]
-        )
+    # --- device-pipelined, end-to-end ----------------------------------------
+    chained = _bench_chained(cfg, raws, n_scans)
 
-    bscans = [batch_scan(i) for i in range(n_scans)]
-    for i in range(2):
-        states, outs = parallel.streams.batched_register_frame_step(
-            states, bscans[i], bcfg
-        )
-    np.asarray(outs.pose)
-    t0 = time.perf_counter()
-    for i in range(2, n_scans):
-        states, outs = parallel.streams.batched_register_frame_step(
-            states, bscans[i], bcfg
-        )
-    np.asarray(outs.pose)  # true host sync
-    batched = n_streams * (n_scans - 2) / (time.perf_counter() - t0)
+    # --- multi-stream (vmap), end-to-end --------------------------------------
+    batched = _bench_batched(cfg, raws, n_scans, n_streams)
 
-    # --- device-pipelined: the sequential scan chain as ONE lax.scan -------
-    # program (how a production TPU pipeline feeds prefetched scans: no
-    # per-step host dispatch, ~1.6 ms/step on this host)
-    chained = _bench_chained(cfg, scans, n_scans)
+    # --- LIO (flagship lidar-inertial) mode ----------------------------------
+    lio_rate = _bench_lio(cfg, raws, n_scans, pre)
 
-    # --- LIO (flagship lidar-inertial) mode --------------------------------
-    lio_rate = _bench_lio(cfg, scans, n_scans)
-
-    # --- 256-way Monte-Carlo (BASELINE config 5) at VLP-16 scale -----------
+    # --- 256-way Monte-Carlo (BASELINE config 5) at VLP-16 scale -------------
     mc_streams = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     mc_rate = _bench_monte_carlo(mc_streams)
 
@@ -132,7 +129,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "scans_per_sec_64beam",
+                "metric": "scans_per_sec_64beam_e2e",
                 "value": round(best, 2),
                 "unit": "scans/s",
                 "vs_baseline": round(best / 1000.0, 4),
@@ -145,26 +142,34 @@ def main():
                     "lio_scans_per_sec": round(lio_rate, 2),
                     "monte_carlo_aggregate_scans_per_sec": round(mc_rate, 2),
                     "monte_carlo_streams": mc_streams,
-                    "p50_step_ms": round(1000.0 / max(single, 1e-9), 2),
+                    "p50_step_ms_synced": round(p50, 2),
+                    "p95_step_ms_synced": round(p95, 2),
+                    "gn_backend": cfg.icp.gn_backend,
                 },
             }
         )
     )
 
 
-def _bench_chained(cfg, scans, n_scans):
-    """All steps as one lax.scan over device-stacked scans (the sequential
-    pose dependency is preserved; only per-step host dispatch is removed)."""
+def _bench_chained(cfg, raws, n_scans):
+    """All steps as one lax.scan over device-stacked RAW scans: the body is
+    preprocess + register (the sequential pose dependency is preserved;
+    per-step host dispatch AND preprocess serialization are removed). The
+    state is donated so the map slabs update in place across calls."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from lidar_imu_slam_tpu.models import kiss_icp
+    from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
 
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *raws)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run(state, stacked):
-        def body(st, sc):
+        def body(st, raw):
+            sc = preprocess_scan(raw, cfg.lidar)
             st, out = kiss_icp.register_frame(st, sc, cfg)
             return st, out.pose
 
@@ -181,9 +186,48 @@ def _bench_chained(cfg, scans, n_scans):
     return n_scans / (time.perf_counter() - t0)
 
 
-def _bench_lio(cfg, scans, n_scans):
+def _bench_batched(cfg, raws, n_scans, n_streams):
+    """S independent streams vmapped; preprocess runs vmapped inside the
+    timed loop (end-to-end like the single-stream mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_imu_slam_tpu import parallel
+    from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
+
+    bcfg = parallel.streams.batch_config(cfg)
+    states = parallel.streams.init_batched_state(bcfg, n_streams)
+    bpre = jax.jit(jax.vmap(lambda raw: preprocess_scan(raw, cfg.lidar)))
+
+    def batch_raw(i):
+        # distinct scans per stream (staggered, clamped): wrapping would
+        # teleport a stream mid-trajectory and drive its ICP to the
+        # iteration cap, stalling the whole batch (fixed-unroll runs the
+        # static schedule regardless, but correspondence quality matters)
+        idx = [min(i + s, n_scans - 1) for s in range(n_streams)]
+        return jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[raws[j] for j in idx]
+        )
+
+    braws = [batch_raw(i) for i in range(n_scans)]
+    for i in range(2):
+        states, outs = parallel.streams.batched_register_frame_step(
+            states, bpre(braws[i]), bcfg
+        )
+    np.asarray(outs.pose)
+    t0 = time.perf_counter()
+    for i in range(2, n_scans):
+        states, outs = parallel.streams.batched_register_frame_step(
+            states, bpre(braws[i]), bcfg
+        )
+    np.asarray(outs.pose)  # true host sync
+    return n_streams * (n_scans - 2) / (time.perf_counter() - t0)
+
+
+def _bench_lio(cfg, raws, n_scans, pre):
     """The flagship LiDAR-inertial pipeline at the same 64-beam scale:
-    synthetic 100 Hz IMU packets consistent with the bench trajectory."""
+    synthetic 100 Hz IMU packets consistent with the bench trajectory;
+    preprocess inside the timed loop."""
     import dataclasses
 
     from lidar_imu_slam_tpu.models import lio
@@ -203,18 +247,21 @@ def _bench_lio(cfg, scans, n_scans):
 
     packets = [packet(i) for i in range(n_scans)]
     for i in range(2):
-        state, out = lio.step_donated(state, scans[i], packets[i], cfg)
+        state, out = lio.step_donated(state, pre(raws[i]), packets[i], cfg)
     np.asarray(out.pose)
     t0 = time.perf_counter()
     for i in range(2, n_scans):
-        state, out = lio.step_donated(state, scans[i], packets[i], cfg)
+        state, out = lio.step_donated(state, pre(raws[i]), packets[i], cfg)
     np.asarray(out.pose)
     return (n_scans - 2) / (time.perf_counter() - t0)
 
 
 def _bench_monte_carlo(n_streams, n_steps: int = 8):
     """BASELINE config 5: S concurrent perturbed SLAM streams at VLP-16
-    scale (16k pts/scan), fixed-unroll ICP, one vmapped program."""
+    scale (16k pts/scan), fixed-unroll ICP, one vmapped program. The
+    ensemble shares one preprocessed scan + iid perturbations (that IS the
+    workload — there is no per-stream preprocess to fold in); the shared
+    preprocess runs inside the timed loop."""
     import jax
     import jax.numpy as jnp
 
@@ -236,32 +283,31 @@ def _bench_monte_carlo(n_streams, n_steps: int = 8):
     world = synthetic.make_world(seed=1, n_points=200_000, extent=(60.0, 20.0, 8.0))
     gt = synthetic.make_trajectory(n_poses=n_steps + 2, speed=2.0, yaw_rate=0.01, dt=0.1)
     pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
-    scans = []
+    raws = []
     for i, pose in enumerate(gt):
         pts = synthetic.render_scan(world, pose, 16384, 1.0, 40.0, noise=0.02, seed=i)
-        scans.append(jax.block_until_ready(
-            pre(pack_raw_scan(pts, stamp=i * 0.1, max_points=16384))
+        raws.append(jax.tree.map(
+            np.asarray, pack_raw_scan(pts, stamp=i * 0.1, max_points=16384)
         ))
 
     states = parallel.streams.init_batched_state(bcfg, n_streams)
     key = jax.random.PRNGKey(0)
 
-    def batched(i):
+    def ensemble(i):
         # perturbed Monte-Carlo ensembles: same scan, iid point noise
         return parallel.streams.perturb_scans(
-            scans[i], jax.random.fold_in(key, i), n_streams, 0.01
+            pre(raws[i]), jax.random.fold_in(key, i), n_streams, 0.01
         )
 
-    bscans = [batched(i) for i in range(n_steps + 2)]
     for i in range(2):
         states, outs = parallel.streams.batched_register_frame_step(
-            states, bscans[i], bcfg
+            states, ensemble(i), bcfg
         )
     np.asarray(outs.pose)
     t0 = time.perf_counter()
     for i in range(2, n_steps + 2):
         states, outs = parallel.streams.batched_register_frame_step(
-            states, bscans[i], bcfg
+            states, ensemble(i), bcfg
         )
     np.asarray(outs.pose)
     return n_streams * n_steps / (time.perf_counter() - t0)

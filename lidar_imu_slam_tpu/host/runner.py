@@ -132,6 +132,17 @@ class OdometryRunner:
             )
         return self._seg_cfg
 
+    def _on_loop_back(self, scan_index: int) -> None:
+        """Reset the SLAM state after a LiDAR loop-back (stamp regression).
+        Already-collected poses/metrics are kept — the replayed section
+        restarts odometry from identity."""
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LiDAR loop back at scan %d: resetting SLAM state", scan_index
+        )
+        self.state = kiss_icp.init_state(self.cfg)
+
     def _maybe_rebuild(self, scan_index: int) -> None:
         """Compact the slab when eviction tombstones accumulate or the
         append-only bump cursor nears capacity (long sequences: evicted
@@ -161,19 +172,31 @@ class OdometryRunner:
         """
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         it = iter(scan_msgs)
-        try:
-            nxt = pool.submit(self._pack, next(it))
-        except StopIteration:
-            return self
+
+        def fetch_next():
+            try:
+                msg = next(it)
+            except StopIteration:
+                return None
+            return pool.submit(self._pack, msg), float(msg.get("stamp", 0.0))
+
+        nxt = fetch_next()
         i = 0
+        prev_stamp = None
         dev_outs: list = []
         stamps: list = []
         while nxt is not None:
-            scan = nxt.result()
-            try:
-                nxt = pool.submit(self._pack, next(it))
-            except StopIteration:
-                nxt = None
+            fut, stamp = nxt
+            scan = fut.result()
+            nxt = fetch_next()
+            if prev_stamp is not None and stamp < prev_stamp:
+                # LiDAR loop-back (bag replay wrapped): reset the SLAM state
+                # so the replay does not register against the stale map.
+                # (The reference only clears its scan buffers and keeps the
+                # stale map/poses, frame.cpp:16-22 — documented deviation,
+                # PARITY.md.)
+                self._on_loop_back(i)
+            prev_stamp = stamp
             t0 = time.perf_counter()
             segs, seg_cfg = self._segments(scan, i)
             for seg in segs:
@@ -273,13 +296,27 @@ class LioRunner(OdometryRunner):
             return tmax if tmax > stamp else stamp + tmax
         return stamp
 
+    def _on_loop_back(self, scan_index: int) -> None:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LiDAR loop back at scan %d: resetting LIO state", scan_index
+        )
+        self.state = lio.init_state(self.cfg)
+
     def run_lio(self, scan_msgs: Iterable[dict], imu_stream, progress=None,
                 sync_every: int = 0):
         """`imu_stream`: array-like of (t, gx, gy, gz, ax, ay, az) rows in
         arrival order. Samples are pushed through the stream synchronizer
         (offset shift + loop-back resets) and bucketed to the scan that
         covers them (reference buffers per scan segment, src/odom_run.hpp +
-        sync_frame.hpp)."""
+        sync_frame.hpp).
+
+        First-class parity with `OdometryRunner.run` (round-3): frame
+        splitting (`frame_split_num` with per-segment IMU sub-packets),
+        online loop-closure backend observation, and a LiDAR loop-back
+        reset of the whole LIO state (the synchronizer's flag was detected
+        but dropped in round 2)."""
         from .stream_sync import StreamSynchronizer
 
         imu = np.asarray(imu_stream, np.float64)
@@ -312,20 +349,37 @@ class LioRunner(OdometryRunner):
             if not sync.offset_set and cursor < len(imu):
                 sync.push_imu(imu[cursor, 0], imu[cursor, 1:4], imu[cursor, 4:7])
                 cursor += 1
-            sync.push_scan(stamp)
+            if sync.push_scan(stamp):
+                self._on_loop_back(i)
             while (
                 cursor < len(imu)
                 and imu[cursor, 0] - sync.time_offset <= t_end
             ):
                 sync.push_imu(imu[cursor, 0], imu[cursor, 1:4], imu[cursor, 4:7])
                 cursor += 1
-            take = sync.take_until(t_end, cap)
-            packet = lio.pack_imu_packet(
-                take[:, 0], take[:, 1:4], take[:, 4:7], cap
-            )
 
             t0 = time.perf_counter()
-            self.state, out = lio.step_donated(self.state, scan, packet, self.cfg)
+            segs, seg_cfg = self._segments(scan, i)
+            # per-segment IMU windows: segments are equal-COUNT slices of
+            # the time-sorted scan, so their time boundaries are
+            # approximated by equal-time interpolation over
+            # [stamp, t_end] (exact for uniform-rate scans; the reference
+            # buckets IMU per sub-frame by accumulated segment time,
+            # frame.cpp:53-99 — documented deviation, PARITY.md)
+            scan_overflow = 0
+            for s, seg in enumerate(segs):
+                seg_t_end = (
+                    t_end if s == len(segs) - 1
+                    else stamp + (t_end - stamp) * (s + 1) / len(segs)
+                )
+                take = sync.take_until(seg_t_end, cap)
+                scan_overflow += sync.last_overflow
+                packet = lio.pack_imu_packet(
+                    take[:, 0], take[:, 1:4], take[:, 4:7], cap
+                )
+                self.state, out = lio.step_donated(
+                    self.state, seg, packet, seg_cfg
+                )
             if sync_every and (i + 1) % sync_every == 0:
                 np.asarray(out.pose)
             dt = time.perf_counter() - t0
@@ -333,7 +387,9 @@ class LioRunner(OdometryRunner):
                 self.timer.record(dt)
             dev_outs.append(
                 (out.pose, out.icp_iterations, out.num_correspondences,
-                 out.sigma, out.imu_initialized, out.used_imu)
+                 out.residual_rms, out.sigma, out.map_voxels,
+                 out.icp_converged, out.imu_initialized, out.used_imu,
+                 scan_overflow)
             )
             stamps.append(scan.t_begin)
             if (
@@ -344,18 +400,25 @@ class LioRunner(OdometryRunner):
                 checkpoint_save(self.checkpoint_dir, self.state, i + 1)
             if progress:
                 progress(i, out)
+            self._backend_observe(i, out)
             self._maybe_rebuild(i)
             i += 1
         pool.shutdown()
-        for i, (pose, iters, ncorr, sigma, ini, used) in enumerate(dev_outs):
+        self._backend_observe(i, None, final=True)
+        for i, (pose, iters, ncorr, rms, sigma, nvox, conv, ini, used,
+                ovf) in enumerate(dev_outs):
             self.poses.append(np.asarray(pose))
             self.stamps.append(float(stamps[i]))
             self.metrics.append(
                 i,
                 icp_iterations=iters,
                 num_correspondences=ncorr,
+                residual_rms=rms,
                 sigma=sigma,
+                map_voxels=nvox,
+                icp_converged=conv,
                 imu_initialized=ini,
                 used_imu=used,
+                imu_overflow=ovf,
             )
         return self

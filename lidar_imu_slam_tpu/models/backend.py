@@ -235,6 +235,140 @@ def optimize_jit(g: PoseGraph, iterations: int = 10) -> PoseGraph:
     return optimize(g, iterations)
 
 
+# ---------------------------------------------------------------------------
+# Matrix-free PCG solver (KITTI-length graphs)
+# ---------------------------------------------------------------------------
+#
+# The dense path above assembles the full (6K, 6K) Hessian and Cholesky-
+# factors it: O(K^2) memory and O(K^3) solve — fine to ~256 keyframes,
+# prohibitive for a KITTI-00-length run (round-2 VERDICT weak #5). A pose
+# graph is a chain plus a few loop edges, so H is block-tridiagonal + a
+# handful of off-diagonal blocks; the TPU-native answer is to never
+# materialize it: apply H matrix-free from the edge list (two batched
+# einsums + two segment scatter-adds per matvec, O(E) work) inside a
+# block-Jacobi-preconditioned conjugate-gradient loop. Gauge fixing is by
+# PROJECTION (node 0 and inactive nodes are frozen out of the Krylov
+# space), not the dense path's 1e12 prior — a 1e12 diagonal would destroy
+# CG's conditioning.
+
+
+def _apply_H(g: PoseGraph, Ji, Jj, free, lam, x):
+    """y = (J^T J + lam I) x restricted to free nodes; x, y: (K, 6) f64.
+
+    Ji/Jj carry sqrt(edge weight) (see _edge_terms), so masked edges
+    (weight 0) contribute nothing; their index-0 edge_i/edge_j scatter
+    targets receive zeros."""
+    x = jnp.where(free[:, None], x, 0.0)
+    ax = jnp.einsum("eai,ei->ea", Ji, x[g.edge_i]) + jnp.einsum(
+        "eai,ei->ea", Jj, x[g.edge_j]
+    )
+    y = (
+        jnp.zeros_like(x)
+        .at[g.edge_i]
+        .add(jnp.einsum("eai,ea->ei", Ji, ax))
+        .at[g.edge_j]
+        .add(jnp.einsum("eai,ea->ei", Jj, ax))
+    )
+    return jnp.where(free[:, None], y + lam * x, 0.0)
+
+
+def _block_jacobi_inv(g: PoseGraph, Ji, Jj, free, lam):
+    """Inverse 6x6 diagonal blocks of (J^T J + lam I): (K, 6, 6) f64.
+    Unrolled Cholesky (lie.chol_solve_unrolled) — no XLA while-loop
+    lowering, vmaps cleanly over nodes."""
+    k = g.poses.shape[0]
+    Hii = jnp.einsum("eai,eaj->eij", Ji, Ji)
+    Hjj = jnp.einsum("eai,eaj->eij", Jj, Jj)
+    diag = (
+        jnp.zeros((k, 6, 6), jnp.float64)
+        .at[g.edge_i]
+        .add(Hii)
+        .at[g.edge_j]
+        .add(Hjj)
+    )
+    eye6 = jnp.eye(6, dtype=jnp.float64)
+    diag = diag + (lam + 1e-9) * eye6[None]
+    # frozen nodes get identity blocks (their residual lanes are zero)
+    diag = jnp.where(free[:, None, None], diag, eye6[None])
+    return jax.vmap(lambda A: lie.chol_solve_unrolled(A, eye6))(diag)
+
+
+def _pcg(g: PoseGraph, Ji, Jj, free, lam, b, n_iters: int):
+    """Block-Jacobi PCG for (J^T J + lam I) dx = b on the free nodes."""
+    Minv = _block_jacobi_inv(g, Ji, Jj, free, lam)
+    b = jnp.where(free[:, None], b, 0.0)
+
+    def prec(r):
+        return jnp.einsum("kij,kj->ki", Minv, r)
+
+    def dot(a, c):
+        return jnp.sum(a * c)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b  # x0 = 0
+    z0 = prec(r0)
+    rz0 = dot(r0, z0)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Hp = _apply_H(g, Ji, Jj, free, lam, p)
+        denom = dot(p, Hp)
+        alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-300), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Hp
+        z = prec(r)
+        rz_new = dot(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-300), 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (x0, r0, z0, rz0))
+    return x
+
+
+def optimize_cg(
+    g: PoseGraph, iterations: int = 10, cg_iterations: int = 64,
+    damping: float = 1e-6,
+) -> PoseGraph:
+    """Levenberg-Marquardt with the matrix-free PCG inner solve. Same
+    monotone-accept logic as `optimize`; O(E * cg_iterations) per LM step
+    and O(K) memory instead of O(K^3)/O(K^2)."""
+    free = g.node_mask & (jnp.arange(g.poses.shape[0]) != 0)
+
+    def body(_, carry):
+        g, lam = carry
+        r, Ji, Jj = _edge_terms(g)
+        b = -(
+            jnp.zeros((g.poses.shape[0], 6), jnp.float64)
+            .at[g.edge_i]
+            .add(jnp.einsum("eai,ea->ei", Ji, r))
+            .at[g.edge_j]
+            .add(jnp.einsum("eai,ea->ei", Jj, r))
+        )
+        dx = _pcg(g, Ji, Jj, free, lam, b, cg_iterations)
+        new_poses = g.poses @ lie.se3_exp(dx)
+
+        def cost(poses):
+            r2, _, _ = _edge_terms(g._replace(poses=poses))
+            return jnp.sum(r2 * r2)
+
+        c_old = jnp.sum(r * r)
+        accept = cost(new_poses) < c_old
+        poses = jnp.where(accept, new_poses, g.poses)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        return g._replace(poses=poses), lam
+
+    g, _ = jax.lax.fori_loop(0, iterations, body, (g, jnp.float64(damping)))
+    return g
+
+
+@partial(jax.jit, static_argnames=("iterations", "cg_iterations"))
+def optimize_cg_jit(
+    g: PoseGraph, iterations: int = 10, cg_iterations: int = 64
+) -> PoseGraph:
+    return optimize_cg(g, iterations, cg_iterations)
+
+
 def graph_error(g: PoseGraph) -> jnp.ndarray:
     r, _, _ = _edge_terms(g)
     return jnp.sum(r * r)

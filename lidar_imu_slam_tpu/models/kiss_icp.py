@@ -78,23 +78,138 @@ def get_prediction_model(state: KissState) -> jnp.ndarray:
     return jnp.where(state.num_poses < 2, jnp.eye(4, dtype=jnp.float64), pred)
 
 
-def voxelize(points, mask, cfg: PipelineConfig):
-    """Double downsample + IQR (reference icp.cpp:88-135).
+class CoreOutput(NamedTuple):
+    """Everything downstream bookkeeping needs from one registration."""
 
-    Returns (source, source_mask, map_points, map_mask): `map_points` is the
-    0.5*voxel downsample inserted into the map; `source` the 1.5*voxel
-    downsample after Tukey-fence range-outlier rejection, fed to ICP.
-    """
-    vox = cfg.map.voxel_size
-    map_pts, map_mask, _ = voxel_map.first_point_per_voxel(
-        points, mask, 0.5 * vox, cfg.icp.max_map_points
+    new_map: voxel_map.VoxelMap
+    threshold: icp_ops.ThresholdState
+    pose: jnp.ndarray  # (4,4) f64 world pose (divergence-gated)
+    keypoints: jnp.ndarray  # (S,3) f32 ICP source (world frame @ guess)
+    keypoints_mask: jnp.ndarray
+    map_points: jnp.ndarray  # (M,3) f32 corrected map-insert downsample
+    map_points_mask: jnp.ndarray
+    icp_iterations: jnp.ndarray
+    num_correspondences: jnp.ndarray
+    residual_rms: jnp.ndarray
+    sigma: jnp.ndarray
+    icp_converged: jnp.ndarray
+
+
+def register_core(
+    m: voxel_map.VoxelMap,
+    threshold: icp_ops.ThresholdState,
+    moved: jnp.ndarray,
+    deskewed_xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    init_guess: jnp.ndarray,
+    cfg: PipelineConfig,
+) -> CoreOutput:
+    """Downsample -> adaptive-threshold robust ICP -> map update: the shared
+    registration trunk of both the lidar-only step (`register_frame`) and
+    the LIO step (`models.lio.step`), = reference icp.cpp:58-86.
+
+    Takes already-deskewed sensor-frame points plus the world initial guess
+    (constant-velocity for lidar-only, the EKF pose for LIO — the pipeline
+    coupling the reference designed but never wired)."""
+    # world transform at the guess (f32 ELEMENTWISE — a matmul here runs at
+    # bf16 MXU precision and quantizes every point, see lie.rotate_points)
+    # + fused grouped downsample (map insert @ 0.5*vox; icp.cpp:126-135)
+    Rg = init_guess[:3, :3].astype(jnp.float32)
+    tg = init_guess[:3, 3].astype(jnp.float32)
+    world = lie.rotate_points(Rg, deskewed_xyz) + tg
+    g = voxel_map.fused_downsample(
+        world, mask, cfg.map.voxel_size, cfg.icp.max_map_points
     )
-    src, src_mask, _ = voxel_map.first_point_per_voxel(
-        map_pts, map_mask, 1.5 * vox, cfg.icp.max_source_points
+
+    # ICP source: second downsample @ 1.5*vox + IQR range-outlier mask
+    # (reference icp.cpp:88-135; ranges measured from the sensor origin)
+    source, source_mask, _ = voxel_map.first_point_per_voxel(
+        g.points, g.mask, 1.5 * cfg.map.voxel_size, cfg.icp.max_source_points
     )
-    d_sq = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1)
-    src_mask = stats.iqr_inlier_mask(d_sq.astype(jnp.float64), src_mask)
-    return src, src_mask, map_pts, map_mask
+    d_sq = jnp.sum((source - tg[None, :]) ** 2, axis=-1)
+    source_mask = stats.iqr_inlier_mask(d_sq.astype(jnp.float64), source_mask)
+
+    # adaptive sigma (accumulates previous frame's model deviation)
+    thr_state, sigma = icp_ops.compute_threshold(
+        threshold,
+        moved,
+        cfg.icp.initial_threshold,
+        cfg.icp.min_motion_th,
+        cfg.map.max_range,
+    )
+
+    # robust GN-ICP (max_corr = 3 sigma, kernel = sigma/3; icp.cpp:74-76) on
+    # world-frame source from identity. The config selects the backend
+    # (fused Pallas kernel vs f64 XLA loops) and schedule (while loop vs
+    # fixed unroll for batched execution).
+    result = icp_ops.registration_dispatch(
+        m, source, source_mask, jnp.eye(4, dtype=jnp.float64),
+        sigma, cfg.map, cfg.icp,
+    )
+    pose_icp = lie.compose(result.pose, init_guess)
+    # scan-level divergence gate: a wild registration would poison the map
+    # and compound through the motion prediction
+    model_dev = lie.compose(lie.transform_inverse(init_guess), pose_icp)
+    diverged = jnp.linalg.norm(model_dev[:3, 3]) > cfg.icp.max_model_deviation
+    new_pose = lie.orthonormalize(jnp.where(diverged, init_guess, pose_icp))
+    model_dev = jnp.where(diverged, jnp.eye(4, dtype=jnp.float64), model_dev)
+
+    # model deviation for the next frame's threshold (icp.cpp:78-79)
+    thr_state = icp_ops.update_model_deviation(thr_state, model_dev)
+
+    # map update with the grouped downsample, correcting world points by
+    # the ICP delta only (icp.cpp:81); no re-sort needed
+    delta = lie.compose(new_pose, lie.transform_inverse(init_guess))
+    Rd = delta[:3, :3].astype(jnp.float32)
+    td = delta[:3, 3].astype(jnp.float32)
+    g_corr = g._replace(points=lie.rotate_points(Rd, g.points) + td)
+    # block keys come from the PRE-correction grouping voxels: they are
+    # unique per group by construction, whereas keys recomputed from the
+    # corrected points can collide when the ICP delta moves two adjacent
+    # groups into one voxel — colliding groups would scatter into the same
+    # block rows and silently overwrite each other. The key is then at most
+    # one voxel off (delta is small post-convergence); the 27-neighborhood
+    # NN still finds the points. Documented deviation (PARITY.md).
+    pre_keys = voxel_map.pack_key(
+        voxel_map.voxel_of(g.points, cfg.map.voxel_size)
+    )
+    new_map = voxel_map.insert_grouped(m, g_corr, cfg.map, keys=pre_keys)
+    new_map = voxel_map.evict_far(new_map, new_pose[:3, 3], cfg.map)
+
+    # device-side slab compaction: the bump allocator reclaims evicted
+    # (tombstoned) slots only through `rebuild`; without this, a map under
+    # capacity pressure silently stops accepting new voxels between the
+    # host's periodic rebuilds and odometry diverges (the host cannot
+    # afford to poll the cursor per scan — a tunnel round-trip is ~45 ms).
+    # lax.cond executes one branch at runtime, so the compaction cost
+    # (one cumsum + slab scatter) is paid only when the cursor nears
+    # capacity AND tombstones are worth reclaiming. Gated off for vmapped
+    # streams (batch_config): under a batched predicate cond lowers to
+    # select and BOTH branches would run every scan.
+    if cfg.map.auto_rebuild:
+        cap = cfg.map.capacity
+        need = (new_map.next_slot > cap - cap // 8) & (
+            new_map.tombstones > cap // 16
+        )
+        new_map = jax.lax.cond(
+            need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
+            new_map,
+        )
+
+    return CoreOutput(
+        new_map=new_map,
+        threshold=thr_state,
+        pose=new_pose,
+        keypoints=source,
+        keypoints_mask=source_mask,
+        map_points=g_corr.points,
+        map_points_mask=g.mask,
+        icp_iterations=result.iterations,
+        num_correspondences=result.num_correspondences,
+        residual_rms=result.residual_rms,
+        sigma=sigma,
+        icp_converged=result.converged,
+    )
 
 
 def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
@@ -134,94 +249,35 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
     )
     init_guess = lie.compose(last_pose, get_prediction_model(state))
 
-    # 3. world transform (f32: ulp < 1mm out to 8km; ELEMENTWISE — a matmul
-    #    here runs at bf16 MXU precision and quantizes every point, see
-    #    lie.rotate_points) + fused grouped downsample (map insert @ 0.5*vox;
-    #    reference icp.cpp:126-135)
-    Rg = init_guess[:3, :3].astype(jnp.float32)
-    tg = init_guess[:3, 3].astype(jnp.float32)
-    world = lie.rotate_points(Rg, deskewed_xyz) + tg
-    g = voxel_map.fused_downsample(
-        world, scan.mask, cfg.map.voxel_size, cfg.icp.max_map_points
-    )
-
-    # 4. ICP source: second downsample @ 1.5*vox + IQR range-outlier mask
-    #    (reference icp.cpp:88-135; ranges measured from the sensor origin)
-    source, source_mask, _ = voxel_map.first_point_per_voxel(
-        g.points, g.mask, 1.5 * cfg.map.voxel_size, cfg.icp.max_source_points
-    )
-    d_sq = jnp.sum((source - tg[None, :]) ** 2, axis=-1)
-    source_mask = stats.iqr_inlier_mask(d_sq.astype(jnp.float64), source_mask)
-
-    # 5. adaptive sigma (accumulates previous frame's model deviation)
+    # 3-8. shared registration trunk (downsample -> adaptive-threshold ICP
+    #      -> divergence gate -> map insert/evict)
     moved = has_moved(state, cfg.icp.min_motion_th)
-    thr_state, sigma = icp_ops.compute_threshold(
-        state.threshold,
-        moved,
-        cfg.icp.initial_threshold,
-        cfg.icp.min_motion_th,
-        cfg.map.max_range,
+    core = register_core(
+        state.map, state.threshold, moved, deskewed_xyz, scan.mask,
+        init_guess, cfg,
     )
-
-    # 6. robust GN-ICP (max_corr = 3 sigma, kernel = sigma/3; icp.cpp:74-76)
-    #    on world-frame source from identity. The config selects the backend
-    #    (fused Pallas kernel vs f64 XLA loops) and schedule (while loop vs
-    #    fixed unroll for batched execution).
-    result = icp_ops.registration_dispatch(
-        state.map, source, source_mask, jnp.eye(4, dtype=jnp.float64),
-        sigma, cfg.map, cfg.icp,
-    )
-    pose_icp = lie.compose(result.pose, init_guess)
-    # scan-level divergence gate: a wild registration would poison the map
-    # and compound through the constant-velocity prediction
-    model_dev = lie.compose(lie.transform_inverse(init_guess), pose_icp)
-    diverged = jnp.linalg.norm(model_dev[:3, 3]) > cfg.icp.max_model_deviation
-    new_pose = lie.orthonormalize(jnp.where(diverged, init_guess, pose_icp))
-    model_dev = jnp.where(diverged, jnp.eye(4, dtype=jnp.float64), model_dev)
-
-    # 7. model deviation for the next frame's threshold (icp.cpp:78-79)
-    thr_state = icp_ops.update_model_deviation(thr_state, model_dev)
-
-    # 8. map update with the grouped downsample, correcting world points by
-    #    the ICP delta only (icp.cpp:81); no re-sort needed
-    delta = lie.compose(new_pose, lie.transform_inverse(init_guess))
-    Rd = delta[:3, :3].astype(jnp.float32)
-    td = delta[:3, 3].astype(jnp.float32)
-    g_corr = g._replace(points=lie.rotate_points(Rd, g.points) + td)
-    # block keys come from the PRE-correction grouping voxels: they are
-    # unique per group by construction, whereas keys recomputed from the
-    # corrected points can collide when the ICP delta moves two adjacent
-    # groups into one voxel — colliding groups would scatter into the same
-    # block rows and silently overwrite each other. The key is then at most
-    # one voxel off (delta is small post-convergence); the 27-neighborhood
-    # NN still finds the points. Documented deviation (PARITY.md).
-    pre_keys = voxel_map.pack_key(
-        voxel_map.voxel_of(g.points, cfg.map.voxel_size)
-    )
-    new_map = voxel_map.insert_grouped(state.map, g_corr, cfg.map, keys=pre_keys)
-    new_map = voxel_map.evict_far(new_map, new_pose[:3, 3], cfg.map)
 
     # 9. pose bookkeeping (icp.cpp:82)
     new_state = KissState(
-        map=new_map,
-        pose=new_pose,
-        pose_prev=jnp.where(state.num_poses == 0, new_pose, state.pose),
-        first_pose=jnp.where(state.num_poses == 0, new_pose, state.first_pose),
+        map=core.new_map,
+        pose=core.pose,
+        pose_prev=jnp.where(state.num_poses == 0, core.pose, state.pose),
+        first_pose=jnp.where(state.num_poses == 0, core.pose, state.first_pose),
         num_poses=state.num_poses + 1,
-        threshold=thr_state,
+        threshold=core.threshold,
     )
     out = FrameOutput(
-        pose=new_pose,
-        keypoints=source,
-        keypoints_mask=source_mask,
-        deskewed=g_corr.points,
-        deskewed_mask=g.mask,
-        icp_iterations=result.iterations,
-        num_correspondences=result.num_correspondences,
-        residual_rms=result.residual_rms,
-        sigma=sigma,
-        map_voxels=voxel_map.num_voxels(new_map),
-        icp_converged=result.converged,
+        pose=core.pose,
+        keypoints=core.keypoints,
+        keypoints_mask=core.keypoints_mask,
+        deskewed=core.map_points,
+        deskewed_mask=core.map_points_mask,
+        icp_iterations=core.icp_iterations,
+        num_correspondences=core.num_correspondences,
+        residual_rms=core.residual_rms,
+        sigma=core.sigma,
+        map_voxels=voxel_map.num_voxels(core.new_map),
+        icp_converged=core.icp_converged,
     )
     return new_state, out
 

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import PipelineConfig
-from ..ops import icp as icp_ops
 from ..ops import imu as imu_ops
 from ..ops import lie, voxel_map
 from ..ops.preprocess import Scan
@@ -50,11 +49,16 @@ class LioOutput(NamedTuple):
     pose: jnp.ndarray  # (4,4) f64 world-from-lidar at scan end
     ekf_pose: jnp.ndarray  # (4,4) f64 world-from-imu
     velocity: jnp.ndarray  # (3,) f64
+    keypoints: jnp.ndarray  # (S,3) f32 ICP source (world frame @ guess)
+    keypoints_mask: jnp.ndarray
     deskewed: jnp.ndarray  # (M,3) f32 map-insert downsample
     deskewed_mask: jnp.ndarray
     icp_iterations: jnp.ndarray
     num_correspondences: jnp.ndarray
+    residual_rms: jnp.ndarray
     sigma: jnp.ndarray
+    map_voxels: jnp.ndarray  # () i32
+    icp_converged: jnp.ndarray  # () bool
     imu_initialized: jnp.ndarray  # () bool
     used_imu: jnp.ndarray  # () bool — IMU deskew active this scan
 
@@ -78,42 +82,6 @@ def _with_prev_sample(packet: ekf_mod.ImuPacket, last_imu) -> ekf_mod.ImuPacket:
         acc=jnp.concatenate([last_imu[4:7][None], packet.acc]),
         mask=jnp.concatenate([has_prev[None], packet.mask]),
     )
-
-
-def _registration(state: LioState, source, source_mask, init_guess, cfg: PipelineConfig):
-    """Shared adaptive-threshold robust ICP (reference icp.cpp:58-86 core)."""
-    moved = kiss_icp.has_moved(state.odo, cfg.icp.min_motion_th)
-    thr_state, sigma = icp_ops.compute_threshold(
-        state.odo.threshold, moved, cfg.icp.initial_threshold,
-        cfg.icp.min_motion_th, cfg.map.max_range,
-    )
-    result = icp_ops.registration_dispatch(
-        state.odo.map, source, source_mask, init_guess, sigma,
-        cfg.map, cfg.icp,
-    )
-    # lie.compose, not `@`: a 4x4 f64 matmul lowers to a TPU while-loop
-    # emulation (round-2 VERDICT weak #6)
-    model_dev = lie.compose(lie.transform_inverse(init_guess), result.pose)
-    diverged = jnp.linalg.norm(model_dev[:3, 3]) > cfg.icp.max_model_deviation
-    result = result._replace(
-        pose=lie.orthonormalize(jnp.where(diverged, init_guess, result.pose))
-    )
-    model_dev = jnp.where(diverged, jnp.eye(4, dtype=jnp.float64), model_dev)
-    thr_state = icp_ops.update_model_deviation(thr_state, model_dev)
-    return result, sigma, thr_state
-
-
-def _finish_odo(state: LioState, thr_state, new_pose, map_pts, map_mask, cfg):
-    new_map = voxel_map.update(state.odo.map, map_pts, map_mask, new_pose, cfg.map)
-    odo = kiss_icp.KissState(
-        map=new_map,
-        pose=new_pose,
-        pose_prev=jnp.where(state.odo.num_poses == 0, new_pose, state.odo.pose),
-        first_pose=jnp.where(state.odo.num_poses == 0, new_pose, state.odo.first_pose),
-        num_poses=state.odo.num_poses + 1,
-        threshold=thr_state,
-    )
-    return state._replace(odo=odo, scan_count=state.scan_count + 1)
 
 
 def step(
@@ -166,7 +134,7 @@ def step(
         if cfg.icp.deskew:
             deskewed = jax.lax.cond(
                 state.odo.num_poses > 2,
-                lambda: deskew_ops.constant_velocity_deskew(
+                lambda: deskew_ops.constant_velocity_deskew_fast(
                     scan.xyz, scan.tau, state.odo.pose_prev, state.odo.pose
                 ),
                 lambda: scan.xyz,
@@ -183,12 +151,14 @@ def step(
         use_imu, imu_branch, cv_branch, ekf_state
     )
 
-    # --- registration ----------------------------------------------------
-    source, source_mask, map_pts, map_mask = kiss_icp.voxelize(
-        deskewed_xyz, scan.mask, cfg
-    )
-    result, sigma, thr_state = _registration(
-        state, source, source_mask, init_guess, cfg
+    # --- registration: shared trunk with the lidar-only step -------------
+    #     (fused grouped downsample -> adaptive-threshold ICP -> divergence
+    #     gate -> map insert/evict), seeded by the EKF pose when the IMU is
+    #     initialized
+    moved = kiss_icp.has_moved(state.odo, cfg.icp.min_motion_th)
+    core = kiss_icp.register_core(
+        state.odo.map, state.odo.threshold, moved, deskewed_xyz, scan.mask,
+        init_guess, cfg,
     )
 
     # --- EKF measurement update + trail maintenance ----------------------
@@ -197,14 +167,24 @@ def step(
             lie.quat_to_rot(e.m[ekf_mod.RIL:ekf_mod.RIL + 4]),
             e.m[ekf_mod.PIL:ekf_mod.PIL + 3],
         )
-        T_wi = lie.compose(result.pose, lie.transform_inverse(T_il))
+        T_wi = lie.compose(core.pose, lie.transform_inverse(T_il))
         e = ekf_mod.lidar_pose_update(e, T_wi, cfg.ekf.lidar_pos_noise, cfg.ekf.lidar_ori_noise, cfg.ekf)
         return ekf_mod.update_and_propagate(e, cfg.ekf)
 
     ekf_state = jax.lax.cond(use_imu, ekf_update, lambda e: e, ekf_state)
 
     # --- map + pose bookkeeping ------------------------------------------
-    new_state = _finish_odo(state, thr_state, result.pose, map_pts, map_mask, cfg)
+    odo = kiss_icp.KissState(
+        map=core.new_map,
+        pose=core.pose,
+        pose_prev=jnp.where(state.odo.num_poses == 0, core.pose, state.odo.pose),
+        first_pose=jnp.where(
+            state.odo.num_poses == 0, core.pose, state.odo.first_pose
+        ),
+        num_poses=state.odo.num_poses + 1,
+        threshold=core.threshold,
+    )
+    new_state = state._replace(odo=odo, scan_count=state.scan_count + 1)
 
     # carry the packet's last valid sample for the next scan
     n_valid = jnp.sum(full.mask, dtype=jnp.int32)
@@ -218,14 +198,19 @@ def step(
         ekf=ekf_state, imu_init=imu_init_next, last_imu=last_imu
     )
     out = LioOutput(
-        pose=result.pose,
+        pose=core.pose,
         ekf_pose=ekf_mod.pose_matrix(ekf_state),
         velocity=ekf_mod.velocity(ekf_state),
-        deskewed=map_pts,
-        deskewed_mask=map_mask,
-        icp_iterations=result.iterations,
-        num_correspondences=result.num_correspondences,
-        sigma=sigma,
+        keypoints=core.keypoints,
+        keypoints_mask=core.keypoints_mask,
+        deskewed=core.map_points,
+        deskewed_mask=core.map_points_mask,
+        icp_iterations=core.icp_iterations,
+        num_correspondences=core.num_correspondences,
+        residual_rms=core.residual_rms,
+        sigma=core.sigma,
+        map_voxels=voxel_map.num_voxels(core.new_map),
+        icp_converged=core.icp_converged,
         imu_initialized=imu_init_next.done,
         used_imu=use_imu,
     )

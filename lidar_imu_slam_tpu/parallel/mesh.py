@@ -33,6 +33,20 @@ def stream_mesh(devices=None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def grid_mesh(dp: int, mp: int, devices=None, axes=("dp", "mp")) -> Mesh:
+    """2-D mesh for the combined scale axes: `dp` independent SLAM streams,
+    each stream's voxel map sharded over `mp` devices
+    (parallel/sharded_map.py). On real hardware lay dp over the slower
+    interconnect dimension and mp over the faster one — the map axis
+    carries the per-iteration cross-shard NN argmin, the stream axis only
+    metric all-reduces."""
+    import numpy as np
+
+    devices = jax.devices() if devices is None else devices
+    assert len(devices) >= dp * mp, (len(devices), dp, mp)
+    return Mesh(np.asarray(devices[: dp * mp]).reshape(dp, mp), axes)
+
+
 def shard_streams(tree, mesh: Mesh, axis: str = "dp"):
     """Place a leading-stream-axis pytree with dimension-0 sharding."""
     sharding = NamedSharding(mesh, P(axis))

@@ -261,3 +261,55 @@ def register_frame(state: ShardedKissState, scan, cfg: PipelineConfig,
 @partial(jax.jit, static_argnames=("cfg", "n_shards", "n_outer", "n_inner"))
 def register_frame_jit(state, scan, cfg, n_shards, n_outer=2, n_inner=4):
     return register_frame(state, scan, cfg, n_shards, n_outer, n_inner)
+
+
+# ---------------------------------------------------------------------------
+# Combined scale axes: S streams x map sharded over D devices (dp x mp mesh)
+# ---------------------------------------------------------------------------
+#
+# Scaling model (round-2 VERDICT next #9): a (dp, mp) grid runs dp
+# independent SLAM streams, each with a D=mp-way sharded map of total
+# capacity mp * cfg.map.capacity slots (~mp x one-chip HBM budget).
+# Per-step cross-device traffic:
+#   * mp axis: one (mp, N, 4)-f32 NN-winner argmin per GN outer round
+#     (N = max_source_points; ~4096 x 16 B = 64 KB per round) — rides the
+#     fast mesh dimension.
+#   * dp axis: scalar metric all-reduces only.
+# Everything else (candidate gather, GN reduce, insert, evict) is local to
+# a device, so step time is flat in dp and near-flat in mp until the
+# winner exchange dominates (N large or mp very wide).
+
+
+def init_multi_state(cfg: PipelineConfig, n_streams: int, n_shards: int):
+    """(S, D, ...) map leaves; (S, ...) pose/threshold leaves."""
+    one = init_state(cfg, n_shards)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape).copy(), one
+    )
+
+
+def shard_multi_state(state, mesh, dp: str = "dp", mp: str = "mp"):
+    """Map leaves sharded (dp, mp); per-stream scalars sharded (dp,)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    smap = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(dp, mp))), state.map
+    )
+    rest = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(dp))),
+        state._replace(map=None)._asdict(),
+    )
+    return ShardedKissState(
+        map=smap, **{k: v for k, v in rest.items() if k != "map"}
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_shards", "n_outer", "n_inner"))
+def batched_register_frame_jit(states, scans, cfg, n_shards, n_outer=2,
+                               n_inner=4):
+    """vmap over the stream axis of the map-sharded step; input shardings
+    ((dp, mp) maps, (dp,) scans) propagate through jit and GSPMD inserts
+    the mp-axis argmin exchange + dp-axis metric reductions."""
+    return jax.vmap(
+        lambda st, sc: register_frame(st, sc, cfg, n_shards, n_outer, n_inner)
+    )(states, scans)

@@ -27,7 +27,12 @@ def batch_config(cfg: PipelineConfig, outer: int = 2, inner: int = 4) -> Pipelin
     return cfg.replace(
         icp=dataclasses.replace(
             cfg.icp, batch_unroll_outer=outer, batch_unroll_inner=inner
-        )
+        ),
+        # no conditional in-step rebuild under vmap: the per-stream
+        # predicate would lower lax.cond to select and run the compaction
+        # every scan for every stream. Batched streams size capacity with
+        # headroom and rely on the host's periodic rebuild instead.
+        map=dataclasses.replace(cfg.map, auto_rebuild=False),
     )
 
 

@@ -1,0 +1,169 @@
+"""LIO runner first-class parity with the lidar-only runner (VERDICT round
+2, missing #3/#4/#5 + next #4): loop-closure backend observation, frame
+splitting with per-segment IMU packets, LiDAR loop-back state reset, and the
+IMU packet-overflow counter."""
+
+import numpy as np
+
+from lidar_imu_slam_tpu import config as cfgmod
+from lidar_imu_slam_tpu.host import synthetic
+from lidar_imu_slam_tpu.host.runner import LioRunner
+from lidar_imu_slam_tpu.host.stream_sync import StreamSynchronizer
+
+
+def _cfg(**kw):
+    lidar = dict(max_range=25.0, min_range=0.5, max_points=4096)
+    lidar.update(kw.pop("lidar", {}))
+    imu = dict(max_init_count=30, max_samples_per_scan=32)
+    imu.update(kw.pop("imu", {}))
+    backend = kw.pop("backend", None)
+    return cfgmod.PipelineConfig(
+        lidar=cfgmod.LidarConfig(**lidar),
+        map=cfgmod.MapConfig(voxel_size=0.5, max_range=25.0, capacity=1 << 13),
+        icp=cfgmod.IcpConfig(
+            max_map_points=4096, max_source_points=1024, max_iterations=30
+        ),
+        imu=cfgmod.ImuConfig(**imu),
+        backend=(
+            cfgmod.BackendConfig(**backend) if backend else cfgmod.BackendConfig()
+        ),
+        **kw,
+    )
+
+
+def _drive(n, seed=5, world=None, gt=None):
+    world = world if world is not None else synthetic.make_world(
+        seed=seed, n_points=60_000, extent=(40.0, 12.0, 5.0)
+    )
+    gt = gt if gt is not None else synthetic.make_trajectory(
+        n_poses=n, speed=1.5, yaw_rate=0.02, dt=0.1
+    )
+
+    def scans():
+        # per-point times across a 90 ms sweep: exercises the time sort and
+        # gives frame splitting real sub-windows to cut at
+        per_pt = np.linspace(0.0, 0.09, 3000)
+        for i, p in enumerate(gt):
+            yield {
+                "xyz": synthetic.render_scan(world, p, 3000, 0.5, 25.0, seed=i),
+                "time": i * 0.1 + per_pt,
+                "stamp": i * 0.1,
+            }
+
+    rows = []
+    for k in range(n * 10):
+        rows.append([k * 0.01 + 0.0013, 0, 0, 0, 0, 0, 9.81])
+    return scans, np.asarray(rows), gt
+
+
+class TestLioBackend:
+    def test_lio_feeds_loop_closure_backend(self):
+        """`run_lio --loop-closure` must actually observe keyframes (the
+        round-2 LioRunner silently ignored the backend)."""
+        n = 24
+        cfg = _cfg(
+            backend=dict(
+                enabled=True,
+                max_keyframes=32,
+                max_edges=128,
+                keyframe_dist=0.25,
+                keyframe_rot=10.0,
+                chunk=4,
+                optimize_every=4,
+                loop_radius=10.0,
+                min_index_gap=4,
+                max_candidates=2,
+                verify_max_residual=0.75,
+                verify_min_correspondences=50,
+                lm_iterations=4,
+            )
+        )
+        scans, imu, gt = _drive(n)
+        r = LioRunner(cfg).run_lio(scans(), imu)
+        assert r.backend is not None
+        assert len(r.backend.kf_poses) >= 4, "backend never observed"
+        assert r.backend.num_optimizations >= 1
+        opt = r.optimized_poses()
+        assert opt.shape == np.stack(r.poses).shape
+        assert np.isfinite(opt).all()
+
+
+class TestLioLoopBack:
+    def test_loop_back_resets_state(self):
+        """Replaying a bag (stamps wrap to 0) must reset the LIO state: the
+        first post-wrap pose restarts near identity instead of continuing
+        from the stale map/EKF (round-2 dropped the synchronizer's flag)."""
+        n = 8
+        scans_fn, imu, gt = _drive(n)
+        msgs = list(scans_fn())
+        replay = msgs + [dict(m) for m in msgs]  # stamp regression at n
+
+        cfg = _cfg()
+        r = LioRunner(cfg).run_lio(iter(replay), imu)
+        assert len(r.poses) == 2 * n
+        moved = np.linalg.norm(r.poses[n - 1][:3, 3])
+        assert moved > 0.25  # sanity: it drove somewhere pre-wrap
+        # post-wrap restart: first replayed scan registers against an empty
+        # map from an identity pose
+        restart = np.linalg.norm(r.poses[n][:3, 3])
+        assert restart < 0.25 * moved, (
+            f"state not reset on loop-back ({restart:.3f} m vs {moved:.3f})"
+        )
+
+
+class TestLioSegments:
+    def test_frame_split_tracks(self):
+        """frame_split_num=2 LIO: segments run as independent sub-steps with
+        per-segment IMU packets; tracking must stay close to the unsplit
+        run (reference frame.cpp:53-99 splitting feeds its whole pipeline)."""
+        n = 10
+        scans_fn, imu, gt = _drive(n)
+        base = LioRunner(_cfg()).run_lio(scans_fn(), imu)
+        split_cfg = _cfg(
+            lidar=dict(frame_split_num=2), min_scan_count=2
+        )
+        split = LioRunner(split_cfg).run_lio(scans_fn(), imu)
+        assert len(split.poses) == n
+        d = np.stack(base.poses)[:, :3, 3] - np.stack(split.poses)[:, :3, 3]
+        # the split run registers at twice the cadence on half-scans — a
+        # DIFFERENT (valid) estimator, so cm-level parity with the unsplit
+        # run is not expected (the reference's split path also changes
+        # results); it must track the same trajectory, not diverge
+        assert np.isfinite(np.stack(split.poses)).all()
+        assert np.max(np.linalg.norm(d, axis=1)) < 1.0
+        assert np.linalg.norm(d[-1]) < 0.5
+
+
+class TestImuOverflow:
+    def test_take_until_counts_overflow(self):
+        warns = []
+        s = StreamSynchronizer(
+            cfgmod.ImuConfig(max_samples_per_scan=8), warn=warns.append
+        )
+        for k in range(20):
+            s.push_imu(0.005 * k, np.zeros(3), [0, 0, 9.81])
+        take = s.take_until(1.0, 8)
+        assert len(take) == 8
+        assert s.last_overflow == 12
+        assert s.total_overflow == 12
+        assert any("overflow" in w for w in warns)
+        # the KEPT samples are the most recent ones
+        assert take[0, 0] == 0.005 * 12
+
+    def test_no_overflow_in_standard_config(self):
+        """The standard drive (100 Hz IMU, 10 Hz scans, cap 32) must never
+        drop samples — asserting the counter is zero guards the default."""
+        n = 6
+        scans_fn, imu, gt = _drive(n)
+        r = LioRunner(_cfg()).run_lio(scans_fn(), imu)
+        assert all(
+            int(m.get("imu_overflow", 0)) == 0 for m in r.metrics.records
+        )
+
+    def test_overflow_surfaces_in_metrics(self):
+        n = 6
+        scans_fn, imu, gt = _drive(n)
+        r = LioRunner(_cfg(imu=dict(max_samples_per_scan=4))).run_lio(
+            scans_fn(), imu
+        )
+        assert any(int(m.get("imu_overflow", 0)) > 0 for m in r.metrics.records)
