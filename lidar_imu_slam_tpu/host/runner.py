@@ -215,7 +215,7 @@ class OdometryRunner:
             dev_outs.append(
                 (out.pose, out.icp_iterations, out.num_correspondences,
                  out.residual_rms, out.sigma, out.map_voxels,
-                 out.icp_converged)
+                 out.icp_converged, out.window_drops)
             )
             stamps.append(scan.t_begin)
             if (
@@ -231,7 +231,8 @@ class OdometryRunner:
             i += 1
         pool.shutdown()
         self._backend_observe(i, None, final=True)
-        for i, (pose, iters, ncorr, rms, sigma, nvox, conv) in enumerate(dev_outs):
+        for i, (pose, iters, ncorr, rms, sigma, nvox, conv,
+                wdrops) in enumerate(dev_outs):
             self.poses.append(np.asarray(pose))
             self.stamps.append(float(stamps[i]))
             self.metrics.append(
@@ -242,6 +243,7 @@ class OdometryRunner:
                 sigma=sigma,
                 map_voxels=nvox,
                 icp_converged=conv,
+                window_drops=wdrops,
             )
         return self
 
@@ -388,8 +390,8 @@ class LioRunner(OdometryRunner):
             dev_outs.append(
                 (out.pose, out.icp_iterations, out.num_correspondences,
                  out.residual_rms, out.sigma, out.map_voxels,
-                 out.icp_converged, out.imu_initialized, out.used_imu,
-                 scan_overflow)
+                 out.icp_converged, out.window_drops, out.imu_initialized,
+                 out.used_imu, scan_overflow)
             )
             stamps.append(scan.t_begin)
             if (
@@ -405,8 +407,8 @@ class LioRunner(OdometryRunner):
             i += 1
         pool.shutdown()
         self._backend_observe(i, None, final=True)
-        for i, (pose, iters, ncorr, rms, sigma, nvox, conv, ini, used,
-                ovf) in enumerate(dev_outs):
+        for i, (pose, iters, ncorr, rms, sigma, nvox, conv, wdrops, ini,
+                used, ovf) in enumerate(dev_outs):
             self.poses.append(np.asarray(pose))
             self.stamps.append(float(stamps[i]))
             self.metrics.append(
@@ -417,6 +419,7 @@ class LioRunner(OdometryRunner):
                 sigma=sigma,
                 map_voxels=nvox,
                 icp_converged=conv,
+                window_drops=wdrops,
                 imu_initialized=ini,
                 used_imu=used,
                 imu_overflow=ovf,

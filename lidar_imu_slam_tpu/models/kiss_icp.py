@@ -50,6 +50,7 @@ class FrameOutput(NamedTuple):
     sigma: jnp.ndarray  # () f64 adaptive threshold used
     map_voxels: jnp.ndarray  # () i32
     icp_converged: jnp.ndarray  # () bool
+    window_drops: jnp.ndarray  # () i32 downsample-window invalidations
 
 
 def init_state(cfg: PipelineConfig) -> KissState:
@@ -93,6 +94,9 @@ class CoreOutput(NamedTuple):
     residual_rms: jnp.ndarray
     sigma: jnp.ndarray
     icp_converged: jnp.ndarray
+    window_drops: jnp.ndarray  # () i32 — downsample-window invalidations
+    # (fused map downsample + source downsample); nonzero means geometry
+    # was silently lost to the packed-sort windows (weak #10)
 
 
 def register_core(
@@ -123,7 +127,7 @@ def register_core(
 
     # ICP source: second downsample @ 1.5*vox + IQR range-outlier mask
     # (reference icp.cpp:88-135; ranges measured from the sensor origin)
-    source, source_mask, _ = voxel_map.first_point_per_voxel(
+    source, source_mask, _, src_drops = voxel_map.first_point_per_voxel(
         g.points, g.mask, 1.5 * cfg.map.voxel_size, cfg.icp.max_source_points
     )
     d_sq = jnp.sum((source - tg[None, :]) ** 2, axis=-1)
@@ -209,6 +213,7 @@ def register_core(
         residual_rms=result.residual_rms,
         sigma=sigma,
         icp_converged=result.converged,
+        window_drops=g.window_drops + src_drops,
     )
 
 
@@ -278,6 +283,7 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
         sigma=core.sigma,
         map_voxels=voxel_map.num_voxels(core.new_map),
         icp_converged=core.icp_converged,
+        window_drops=core.window_drops,
     )
     return new_state, out
 

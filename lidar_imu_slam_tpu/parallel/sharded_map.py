@@ -195,7 +195,7 @@ def register_frame(state: ShardedKissState, scan, cfg: PipelineConfig,
     g = voxel_map.fused_downsample(
         world, scan.mask, cfg.map.voxel_size, cfg.icp.max_map_points
     )
-    source, source_mask, _ = voxel_map.first_point_per_voxel(
+    source, source_mask, _, src_drops = voxel_map.first_point_per_voxel(
         g.points, g.mask, 1.5 * cfg.map.voxel_size, cfg.icp.max_source_points
     )
     d_sq = jnp.sum((source - tg[None, :]) ** 2, axis=-1)
@@ -254,6 +254,7 @@ def register_frame(state: ShardedKissState, scan, cfg: PipelineConfig,
         "num_correspondences": n_corr,
         "map_voxels": jnp.sum(jax.vmap(voxel_map.num_voxels)(new_map)),
         "drops": jnp.sum(new_map.drops),
+        "window_drops": g.window_drops + src_drops,
     }
     return new_state, new_pose, metrics
 

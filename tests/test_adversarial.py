@@ -55,6 +55,9 @@ def _final_err(runner, gt):
 def _run(msgs):
     r = OdometryRunner(_cfg()).run(iter(msgs))
     assert np.isfinite(np.stack(r.poses)).all()
+    # the standard configs must lose NOTHING to the downsample windows
+    # (VERDICT weak #10 counter; the trigger case is in test_voxel_map)
+    assert all(int(m["window_drops"]) == 0 for m in r.metrics.records)
     return r
 
 
