@@ -232,10 +232,15 @@ def _bench_lio(cfg, raws, n_scans, pre):
 
     from lidar_imu_slam_tpu.models import lio
 
-    # packet budget sized to the 100 Hz stream: the EKF lax.scan runs over
-    # the STATIC packet capacity, so a 64-slot budget wastes ~54 masked
-    # propagation steps per scan (~4x the EKF cost)
-    cfg = cfg.replace(imu=dataclasses.replace(cfg.imu, max_samples_per_scan=16))
+    # packet budget sized to the 100 Hz stream: the EKF runs over the
+    # STATIC packet capacity, so a 64-slot budget wastes ~54 masked
+    # propagation steps per scan (~4x the EKF cost). lidar_pose_trail=2:
+    # perf preset — no measurement reads trail slots (PARITY.md #22), so
+    # the (170,170) trail bookkeeping buys nothing here; 30+14=44-dim state
+    cfg = cfg.replace(
+        imu=dataclasses.replace(cfg.imu, max_samples_per_scan=16),
+        ekf=dataclasses.replace(cfg.ekf, lidar_pose_trail=2),
+    )
     state = lio.init_state(cfg)
     cap = cfg.imu.max_samples_per_scan
 

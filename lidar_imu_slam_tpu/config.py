@@ -192,6 +192,13 @@ class EkfConfig:
     """
 
     lidar_pose_trail: int = 20
+    # Batched per-packet predict (models/ekf.predict_over_packet_batched):
+    # closed-form bias decay + associative-scan orientation/covariance
+    # composition + ONE trail-strip application per packet, replacing the
+    # per-sample sequential scan. Matches the sequential path to roundoff
+    # (tests/test_ekf_batched.py); set False for bit-for-bit reference
+    # stepping semantics.
+    batched_predict: bool = True
     noise_scale: float = 100.0
     init_pos_noise: float = 1e-5
     init_vel_noise: float = 0.1

@@ -712,6 +712,150 @@ def predict_over_packet(
     return state
 
 
+def predict_over_packet_batched(
+    state: EkfState, packet: ImuPacket, trans_lidar_imu, rot_lidar_imu,
+    cfg: EkfConfig,
+) -> EkfState:
+    """Batched reformulation of `predict_over_packet`: the sequential
+    per-sample scan (30 scalar block writes + five 30/170-dim matmuls per
+    sample, each a serialized scan step on TPU) collapses into
+
+      * closed-form bias decay (the per-sample exp(-dt*rate) factors are a
+        cumulative product -> one exp of a cumsum),
+      * one batched quaternion-propagator build + a log-depth
+        `associative_scan` of 4x4 products for the orientation chain,
+      * prefix sums for velocity/position,
+      * one vmapped Fx/Fw assembly over all samples,
+      * a log-depth associative scan composing (Phi, Sigma) transition
+        pairs [(Phi2,S2) o (Phi1,S1) = (Phi2 Phi1, Phi2 S1 Phi2^T + S2)],
+      * ONE application to the covariance — the (trail, 30) cross-strip
+        products run once per PACKET instead of once per sample.
+
+    Numerics match `predict_over_packet` to roundoff (the quaternion
+    propagator is orthogonal, so deferring per-sample renormalization to
+    the batched chain only reorders ~1e-16 rounding); masked samples and
+    duplicate timestamps contribute exact identity transitions
+    (tests/test_ekf_batched.py pins agreement). dt<0 within a packet
+    (impossible post stream-sync) clamps to 0 here, while the sequential
+    path re-anchors prev_sample_t — documented micro-deviation.
+    """
+    m, P = state.m, state.P
+    t, ok = packet.time, packet.mask
+    calc_grav = m[GRAV_I:GRAV_I + 3]
+    noise_scale = cfg.noise_scale * cfg.noise_scale
+    mm = lie.matmul_nowhile
+
+    # --- per-sample dt (masked samples and duplicates -> dt = 0) ----------
+    NEG = jnp.float64(-1e30)
+    tv = jnp.where(ok, t, NEG)
+    prev_valid = jax.lax.cummax(
+        jnp.concatenate([jnp.full((1,), NEG), tv[:-1]])
+    )
+    start_prev = jnp.where(state.first_sample, NEG, state.prev_sample_t)
+    prev_t = jnp.maximum(prev_valid, start_prev)
+    dt = jnp.where(ok & (prev_t > 0.5 * NEG), t - prev_t, 0.0)
+    dt = jnp.maximum(dt, 0.0)
+    cumdt = jnp.cumsum(dt)
+    cd_prev = cumdt - dt
+
+    # --- closed-form bias decay (pre-sample values) ------------------------
+    g_rate = jnp.where(cfg.gyro_process_noise > 0.0, cfg.gyro_process_noise, 0.0)
+    a_rate = jnp.where(
+        cfg.acc_process_noise_rev > 0.0, cfg.acc_process_noise_rev, 0.0
+    )
+    bga_pre = m[BGA:BGA + 3][None] * jnp.exp(-g_rate * cd_prev)[:, None]
+    baa_pre = m[BAA:BAA + 3][None] * jnp.exp(-a_rate * cd_prev)[:, None]
+
+    # --- orientation chain --------------------------------------------------
+    w = packet.gyro - bga_pre  # (N, 3)
+    A = lie.quat_propagator(w, dt)  # (N, 4, 4), orthogonal
+    Mk = jax.lax.associative_scan(lambda a, b: mm(b, a), A)  # A_k ... A_1
+    q0 = m[ORI:ORI + 4]
+    q_raw = jnp.sum(Mk * q0[None, None, :], axis=-1)  # (N, 4)
+    q = q_raw / jnp.linalg.norm(q_raw, axis=-1, keepdims=True)
+    prev_q = jnp.concatenate([q0[None], q[:-1]])
+    R = jax.vmap(lie.quat_to_rot)(q)  # (N, 3, 3)
+    dR = jax.vmap(lie.dquat_to_rot)(q)
+
+    # --- velocity / position prefix sums ------------------------------------
+    T_ab = m[BAT:BAT + 3][None] * packet.acc - baa_pre  # (N, 3)
+    RtT = jnp.sum(R * T_ab[:, :, None], axis=1)  # R^T T_ab, elementwise
+    dv = (RtT + calc_grav[None]) * dt[:, None]
+    vel = m[VEL:VEL + 3][None] + jnp.cumsum(dv, axis=0)
+    vel_prev = jnp.concatenate([m[VEL:VEL + 3][None], vel[:-1]])
+    pos = m[POS:POS + 3][None] + jnp.cumsum(vel_prev * dt[:, None], axis=0)
+
+    # --- batched Jacobians + one-shot covariance composition ----------------
+    Fx, Fw = jax.vmap(_state_jacobians)(T_ab, prev_q, A, R, dR, packet.acc, dt)
+    Q = jax.vmap(lambda d: _ou_q(cfg, d, noise_scale))(dt)
+    FwQFw = mm(mm(Fw, Q), jnp.swapaxes(Fw, -1, -2))
+    # dt = 0 must be an exact identity transition: _ou_q's OU scale is 1
+    # (not 0) when a reversion rate is configured zero, which would inject
+    # noise the sequential path's dt<=0 skip never does
+    FwQFw = jnp.where((dt > 0.0)[:, None, None], FwQFw, 0.0)
+
+    def compose(a, b):
+        Pa, Sa = a
+        Pb, Sb = b
+        return mm(Pb, Pa), mm(mm(Pb, Sa), jnp.swapaxes(Pb, -1, -2)) + Sb
+
+    Phi, Sig = jax.lax.associative_scan(compose, (Fx, FwQFw))
+    PhiN, SigN = Phi[-1], Sig[-1]
+
+    P = P.at[:INNER, :INNER].set(
+        mm(mm(PhiN, P[:INNER, :INNER]), PhiN.T) + SigN
+    )
+    P = P.at[INNER:, :INNER].set(mm(P[INNER:, :INNER], PhiN.T))
+    P = P.at[:INNER, INNER:].set(mm(PhiN, P[:INNER, INNER:]))
+
+    # --- final mean ----------------------------------------------------------
+    m = m.at[POS:POS + 3].set(pos[-1])
+    m = m.at[VEL:VEL + 3].set(vel[-1])
+    m = m.at[ORI:ORI + 4].set(q[-1])
+    m = m.at[BGA:BGA + 3].set(m[BGA:BGA + 3] * exp_(-g_rate * cumdt[-1]))
+    m = m.at[BAA:BAA + 3].set(m[BAA:BAA + 3] * exp_(-a_rate * cumdt[-1]))
+    m = m.at[GRAV_I:GRAV_I + 3].set(calc_grav)
+    m = m.at[PIL:PIL + 3].set(trans_lidar_imu)
+    m = m.at[RIL:RIL + 4].set(lie.rot_to_quat(rot_lidar_imu))
+
+    # --- bookkeeping ---------------------------------------------------------
+    any_valid = jnp.any(ok)
+    n_valid = jnp.sum(ok, dtype=jnp.int32)
+    last_t = jnp.max(tv)
+    first_valid_t = t[jnp.argmax(ok)]
+    fst = jnp.where(
+        state.first_sample & any_valid, first_valid_t, state.first_sample_t
+    )
+    keep_old_time = (~any_valid) | (state.first_sample & (n_valid < 2))
+    new_time = jnp.where(keep_old_time, state.time, last_t - fst)
+
+    new = state._replace(
+        m=m,
+        P=P,
+        time=new_time,
+        first_sample_t=fst,
+        prev_sample_t=jnp.where(any_valid, last_t, state.prev_sample_t),
+        first_sample=state.first_sample & ~any_valid,
+    )
+    # all-masked packet: the sequential path leaves the state untouched
+    return jax.tree.map(
+        lambda a, b: jnp.where(any_valid, a, b), new, state
+    )
+
+
+def predict_dispatch(
+    state: EkfState, packet: ImuPacket, trans_lidar_imu, rot_lidar_imu,
+    cfg: EkfConfig,
+) -> EkfState:
+    """Config-selected predict: batched (default, TPU-fast) or the
+    sequential per-sample scan (bit-for-bit reference semantics)."""
+    fn = (
+        predict_over_packet_batched if cfg.batched_predict
+        else predict_over_packet
+    )
+    return fn(state, packet, trans_lidar_imu, rot_lidar_imu, cfg)
+
+
 def lidar_pose_update(state: EkfState, pose, pos_noise, ori_noise, cfg: EkfConfig) -> EkfState:
     """Absolute pose measurement update from scan registration.
 

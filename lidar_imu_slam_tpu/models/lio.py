@@ -109,7 +109,7 @@ def step(
 
     # --- branch A: IMU-driven deskew + EKF ------------------------------
     def imu_branch(ekf_state):
-        ekf_state = ekf_mod.predict_over_packet(
+        ekf_state = ekf_mod.predict_dispatch(
             ekf_state,
             full,
             ekf_state.m[ekf_mod.PIL:ekf_mod.PIL + 3],

@@ -1,0 +1,131 @@
+"""Batched EKF predict (associative-scan composition) vs the sequential
+per-sample scan: the two must agree to roundoff on mean AND covariance,
+across masking patterns, duplicate timestamps, packet chaining, and the
+first-sample gate (round-2 VERDICT weak #6: the per-sample predict scan was
+the LIO bottleneck)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lidar_imu_slam_tpu.config import EkfConfig
+from lidar_imu_slam_tpu.models import ekf
+
+RNG = np.random.default_rng(11)
+
+
+def _cfg(trail=4, **kw):
+    return EkfConfig(lidar_pose_trail=trail, **kw)
+
+
+def _rand_state(cfg):
+    """A generic (non-fresh) state: random SPD covariance, unit quats."""
+    s = ekf.init(cfg)
+    d = cfg.state_dim
+    m = np.asarray(s.m).copy()
+    m[ekf.POS:ekf.POS + 3] = RNG.normal(0, 2.0, 3)
+    m[ekf.VEL:ekf.VEL + 3] = RNG.normal(0, 1.0, 3)
+    q = RNG.normal(0, 1, 4)
+    m[ekf.ORI:ekf.ORI + 4] = q / np.linalg.norm(q)
+    m[ekf.BGA:ekf.BGA + 3] = RNG.normal(0, 0.01, 3)
+    m[ekf.BAA:ekf.BAA + 3] = RNG.normal(0, 0.05, 3)
+    a = RNG.normal(0, 0.1, (d, d))
+    P = a @ a.T + np.eye(d) * 1e-3
+    return s._replace(
+        m=jnp.asarray(m), P=jnp.asarray(P),
+        first_sample=jnp.asarray(False),
+        prev_sample_t=jnp.float64(0.99),
+        first_sample_t=jnp.float64(0.0),
+    )
+
+
+def _packet(n_valid, cap=12, t0=1.0, dup_at=None, seed=0):
+    rng = np.random.default_rng(seed)
+    t = t0 + np.arange(cap) * 0.01
+    if dup_at is not None:
+        t[dup_at] = t[dup_at - 1]  # duplicate timestamp -> dt = 0 sample
+    gyro = rng.normal(0, 0.3, (cap, 3))
+    acc = rng.normal([0, 0, 9.81], 0.4, (cap, 3))
+    mask = np.arange(cap) < n_valid
+    return ekf.ImuPacket(
+        time=jnp.asarray(t), gyro=jnp.asarray(gyro),
+        acc=jnp.asarray(acc), mask=jnp.asarray(mask),
+    )
+
+
+def _both(state, packet, cfg):
+    tl = state.m[ekf.PIL:ekf.PIL + 3]
+    from lidar_imu_slam_tpu.ops import lie
+
+    Rl = lie.quat_to_rot(state.m[ekf.RIL:ekf.RIL + 4])
+    seq = ekf.predict_over_packet(state, packet, tl, Rl, cfg)
+    bat = ekf.predict_over_packet_batched(state, packet, tl, Rl, cfg)
+    return seq, bat
+
+
+def _assert_close(seq, bat, atol_m=1e-9, atol_P=1e-7):
+    np.testing.assert_allclose(np.asarray(bat.m), np.asarray(seq.m), atol=atol_m)
+    np.testing.assert_allclose(np.asarray(bat.P), np.asarray(seq.P), atol=atol_P)
+    for f in ("time", "first_sample_t", "prev_sample_t"):
+        np.testing.assert_allclose(
+            float(getattr(bat, f)), float(getattr(seq, f)), atol=1e-12
+        )
+    assert bool(bat.first_sample) == bool(seq.first_sample)
+
+
+class TestBatchedPredictParity:
+    def test_full_packet(self):
+        cfg = _cfg()
+        seq, bat = _both(_rand_state(cfg), _packet(12), cfg)
+        _assert_close(seq, bat)
+
+    def test_masked_tail(self):
+        cfg = _cfg()
+        seq, bat = _both(_rand_state(cfg), _packet(5), cfg)
+        _assert_close(seq, bat)
+
+    def test_duplicate_timestamp_is_identity_sample(self):
+        cfg = _cfg()
+        seq, bat = _both(_rand_state(cfg), _packet(9, dup_at=4), cfg)
+        _assert_close(seq, bat)
+
+    def test_all_masked_leaves_state(self):
+        cfg = _cfg()
+        st = _rand_state(cfg)
+        seq, bat = _both(st, _packet(0), cfg)
+        np.testing.assert_array_equal(np.asarray(bat.m), np.asarray(st.m))
+        _assert_close(seq, bat)
+
+    def test_first_sample_gate(self):
+        cfg = _cfg()
+        st = _rand_state(cfg)._replace(
+            first_sample=jnp.asarray(True),
+            prev_sample_t=jnp.float64(0.0),
+        )
+        seq, bat = _both(st, _packet(7), cfg)
+        _assert_close(seq, bat)
+
+    def test_chained_packets(self):
+        cfg = _cfg()
+        s_seq = s_bat = _rand_state(cfg)
+        from lidar_imu_slam_tpu.ops import lie
+
+        for k in range(3):
+            p = _packet(10, t0=1.0 + 0.12 * k, seed=k)
+            tl = s_seq.m[ekf.PIL:ekf.PIL + 3]
+            Rl = lie.quat_to_rot(s_seq.m[ekf.RIL:ekf.RIL + 4])
+            s_seq = ekf.predict_over_packet(s_seq, p, tl, Rl, cfg)
+            s_bat = ekf.predict_over_packet_batched(s_bat, p, tl, Rl, cfg)
+        _assert_close(s_seq, s_bat, atol_m=1e-8, atol_P=1e-6)
+
+    def test_zero_reversion_rates_no_phantom_noise(self):
+        """With reversion rates at zero the OU scale is 1 even at dt=0; the
+        batched path must still make masked/duplicate samples exact
+        identity transitions (FwQFw gated on dt>0)."""
+        cfg = _cfg(acc_process_noise_rev=0.0, gyro_process_noise_rev=0.0)
+        seq, bat = _both(_rand_state(cfg), _packet(6, dup_at=3), cfg)
+        _assert_close(seq, bat)
+
+    def test_default_trail_dim(self):
+        cfg = _cfg(trail=20)
+        seq, bat = _both(_rand_state(cfg), _packet(12), cfg)
+        _assert_close(seq, bat)
