@@ -101,6 +101,14 @@ class MapConfig:
     # per point instead of 3 f32) and needs no relayout transpose. Costs
     # one extra i32 scatter per insert.
     packed_nn: bool = True
+    # Maintain the f32 point slab. False (perf mode, requires packed_nn +
+    # the pallas GN backend) stores ONLY the packed i32 mirror: the three
+    # per-component f32 insert scatters (~0.5 ms/scan at 32k updates on a
+    # v5e) and the eviction rewrite disappear; `export_points` decodes
+    # from the packed slab (voxel-local quantization ~3 mm at 1 m voxels).
+    # The f64-exact XLA GN backend and `exact_boundary` eviction need the
+    # f32 slab — `create` enforces the combination.
+    store_points: bool = True
     # Device-side conditional slab compaction inside the step (lax.cond on
     # cursor-near-capacity & tombstones): keeps the bump allocator from
     # running out of slots between host rebuilds. Disable for vmapped

@@ -109,6 +109,19 @@ def render_scan(
     return pts_s
 
 
+def azimuth_times(pts: np.ndarray, stamp: float, period: float = 0.1) -> np.ndarray:
+    """Per-point absolute timestamps from the spinning-sensor azimuth model.
+
+    A mechanical LiDAR emits points in azimuth order over one revolution;
+    real drivers stamp each point accordingly (the reference reads these
+    into `curvature`, frame.cpp:151-156, and only falls back to a rotation
+    model when they are absent, frame.cpp:128-133). Synthetic benches carry
+    them so preprocessing exercises the timestamp path real sensors take.
+    """
+    az = np.arctan2(pts[:, 1], pts[:, 0])  # [-pi, pi)
+    return stamp + (az + np.pi) / (2.0 * np.pi) * period
+
+
 def render_scan_rolling(
     world: np.ndarray,
     pose_start: np.ndarray,

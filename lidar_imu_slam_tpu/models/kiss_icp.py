@@ -107,6 +107,7 @@ def register_core(
     mask: jnp.ndarray,
     init_guess: jnp.ndarray,
     cfg: PipelineConfig,
+    tau=None,
 ) -> CoreOutput:
     """Downsample -> adaptive-threshold robust ICP -> map update: the shared
     registration trunk of both the lidar-only step (`register_frame`) and
@@ -121,8 +122,12 @@ def register_core(
     Rg = init_guess[:3, :3].astype(jnp.float32)
     tg = init_guess[:3, 3].astype(jnp.float32)
     world = lie.rotate_points(Rg, deskewed_xyz) + tg
+    # unsorted scans (sort_by_time=False) carry their time into the sort
+    # key so the within-cell winner is still the earliest point —
+    # reference first-wins semantics without the preprocess-side sort
     g = voxel_map.fused_downsample(
-        world, mask, cfg.map.voxel_size, cfg.icp.max_map_points
+        world, mask, cfg.map.voxel_size, cfg.icp.max_map_points,
+        tau=None if cfg.lidar.sort_by_time else tau,
     )
 
     # ICP source: second downsample @ 1.5*vox + IQR range-outlier mask
@@ -259,7 +264,7 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
     moved = has_moved(state, cfg.icp.min_motion_th)
     core = register_core(
         state.map, state.threshold, moved, deskewed_xyz, scan.mask,
-        init_guess, cfg,
+        init_guess, cfg, tau=scan.tau,
     )
 
     # 9. pose bookkeeping (icp.cpp:82)

@@ -1,5 +1,5 @@
-"""Fixed-capacity voxel local map in device memory (v3: dense grid index +
-append-only slab).
+"""Fixed-capacity voxel local map in device memory (v4: one-gather
+fingerprint grid + append-only slab).
 
 Replaces the reference's tsl::robin_map<Voxel, VoxelBlock> + TBB + shared
 mutexes (reference src/sensors/lidar/helpers/voxel_hash_map.cpp,
@@ -22,11 +22,20 @@ v3 design notes (all perf-measured on a live v5e):
     so coordinates wrap to _KEY_BITS=10 bits/axis; two live voxels can only
     alias if the live span exceeds 1024 voxels per axis, which `create`
     rejects (needs voxel_size > max_range/255).
-  * Lookup: the dense toroidal grid maps a wrapped voxel coordinate straight
-    to its table slot — ONE element gather + a key-verify gather, no probing
-    (v2's 16-wide hash-window row gathers were ~5x the element count and
-    vmapped badly). Stale grid entries (evictions don't clear them) fail the
-    key verify and read as misses — never corruption; insert self-heals.
+  * Lookup (v4): the dense toroidal grid maps a wrapped voxel coordinate
+    straight to a cell packing (key_fingerprint << slot_bits | slot). The
+    fingerprint is EXACTLY the key bits the grid position throws away
+    (the high bits of each wrapped axis field), so cell position +
+    fingerprint reconstructs the full 30-bit key: verification needs NO
+    second gather. One 32k-element gather costs a flat ~0.28 ms on a v5e
+    (gather-throughput bound, independent of operand size and index
+    width — measured tools/prims5.py), so halving the gather count nearly
+    halves lookup cost vs v3's grid-gather + key-verify-gather pair.
+    Stale cells (evictions don't clear them) still carry the evicted
+    voxel's fingerprint; they resolve to a tombstoned slot whose point
+    rows are +inf / packed-sentinel — candidate fetches see an empty
+    block (absent semantics), and insert resurrects the slot in place
+    (npts was reset to 0, so appends restart at row 0).
   * Allocation: append-only bump cursor (`next_slot`) — missing keys take
     sequential slots by cumsum rank; no while_loop, no claim contest.
     Evicted slots are reclaimed only by `rebuild` (periodic compaction,
@@ -97,10 +106,13 @@ class VoxelMap(NamedTuple):
     drops: jnp.ndarray  # () int32 — voxels dropped: slab exhausted (bump
     # cursor hit capacity before a rebuild could compact)
     grid: jnp.ndarray  # (Gx*Gy*Gz,) int32 dense toroidal index: voxel
-    # coords (mod grid dims) -> table slot, -1 = absent. Entries may be
-    # STALE (eviction does not clear them; slot reuse overwrites them):
-    # every lookup verifies keys[slot] == key, so a stale entry is a
-    # verified miss, never corruption. Insert self-heals stale entries.
+    # coords (mod grid dims) -> (fingerprint << slot_bits | slot), -1 =
+    # absent. The fingerprint is the key bits the grid position discards,
+    # so one gather both finds and verifies (v4). Entries may be STALE
+    # (eviction does not clear them): a stale cell resolves to a
+    # tombstoned slot whose rows are +inf/sentinel (reads as an empty
+    # block); insert resurrects it in place. A cell whose fingerprint
+    # mismatches reads as absent; insert overwrites it (self-heal).
     next_slot: jnp.ndarray  # () int32 — bump-allocation cursor. Slots
     # [0, next_slot) have been handed out since the last rebuild; evicted
     # slots are NOT reused until `rebuild` compacts (append-only slab +
@@ -137,9 +149,22 @@ def create(cfg: MapConfig) -> VoxelMap:
         )
     if cfg.nn_points % 2 != 0:
         raise ValueError("nn_points must be even (i64-pair candidate gather)")
+    fp_bits = 3 * _KEY_BITS - sum(_grid_log2(cfg))
+    if fp_bits + _slot_bits(cfg) > 31:
+        raise ValueError(
+            f"grid cell overflow: {fp_bits} fingerprint bits + "
+            f"{_slot_bits(cfg)} slot bits > 31 — grow the grid or shrink "
+            f"capacity (needs grid cells >= capacity / 2)"
+        )
+    if not cfg.store_points and not cfg.packed_nn:
+        raise ValueError("store_points=False requires packed_nn=True")
     return VoxelMap(
         keys=jnp.full((c,), EMPTY, dtype=jnp.int32),
-        points=jnp.full((c, k * 3), jnp.inf, dtype=jnp.float32),
+        points=(
+            jnp.full((c, k * 3), jnp.inf, dtype=jnp.float32)
+            if cfg.store_points
+            else jnp.zeros((0, 0), dtype=jnp.float32)
+        ),
         npts=jnp.zeros((c,), dtype=jnp.int32),
         tombstones=jnp.zeros((), dtype=jnp.int32),
         drops=jnp.zeros((), dtype=jnp.int32),
@@ -206,6 +231,29 @@ def grid_pos(keys: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
     return (x * gy + y) * gz + z
 
 
+def _grid_log2(cfg: MapConfig):
+    gx, gy, gz = cfg.grid_dims
+    return gx.bit_length() - 1, gy.bit_length() - 1, gz.bit_length() - 1
+
+
+def _slot_bits(cfg: MapConfig) -> int:
+    return max((cfg.capacity - 1).bit_length(), 1)
+
+
+def _fp_of(keys: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
+    """Grid-cell fingerprint of a packed key: exactly the key bits
+    `grid_pos` discards (the high bits of each wrapped axis field), so
+    (grid position, fingerprint) <-> full 30-bit key is a bijection and a
+    fingerprint match IS full key verification."""
+    lgx, lgy, lgz = _grid_log2(cfg)
+    xhi = keys >> (2 * _KEY_BITS + lgx)  # keys < 2^30: nothing above
+    yhi = (keys >> (_KEY_BITS + lgy)) & ((1 << (_KEY_BITS - lgy)) - 1)
+    zhi = (keys >> lgz) & ((1 << (_KEY_BITS - lgz)) - 1)
+    return (
+        ((xhi << (_KEY_BITS - lgy)) | yhi) << (_KEY_BITS - lgz)
+    ) | zhi
+
+
 def voxel_of(points: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
     """Truncation-toward-zero voxel index (reference calculation_helpers.cpp:142-147)."""
     return (points / jnp.float32(voxel_size)).astype(jnp.int32)
@@ -235,18 +283,20 @@ def unpack_key_rel(key: jnp.ndarray, origin_vox: jnp.ndarray) -> jnp.ndarray:
 
 def _lookup(m: "VoxelMap", qkeys: jnp.ndarray, qvalid: jnp.ndarray,
             cfg: MapConfig):
-    """Grid-index lookup with key verification (round 3).
+    """Grid-cell lookup with in-cell fingerprint verification (v4).
 
-    TWO single-element gathers per query (grid cell, then the stored key)
-    instead of the 16-wide window gather — XLA TPU gather cost scales with
-    elements fetched, and the window rows were ~0.5 ms/scan at 64-beam
-    scale. Stale/aliased grid entries fail the key check and read as
-    absent. Returns slot per query, -1 if absent."""
-    gp = grid_pos(qkeys, cfg)
-    slot = m.grid[gp]
-    safe = jnp.maximum(slot, 0)
-    ok = qvalid & (slot >= 0) & (m.keys[safe] == qkeys)
-    return jnp.where(ok, safe, jnp.int32(-1))
+    ONE element gather per query: the cell packs (fingerprint | slot) and
+    the fingerprint holds every key bit the grid position discards, so the
+    match is full key verification (no keys[slot] gather — element gathers
+    cost a flat ~0.28 ms per 32k on a v5e). Fingerprint-mismatching
+    (overwritten) cells read as absent. Returns slot per query, -1 if
+    absent (which includes tombstoned slots' stale cells only in the sense
+    that their rows are empty — the slot itself still resolves, and its
+    +inf/sentinel rows make fetches see no candidates)."""
+    sb = _slot_bits(cfg)
+    cell = m.grid[grid_pos(qkeys, cfg)]
+    ok = qvalid & (cell >= 0) & ((cell >> sb) == _fp_of(qkeys, cfg))
+    return jnp.where(ok, cell & ((1 << sb) - 1), jnp.int32(-1))
 
 
 # ---------------------------------------------------------------------------
@@ -304,13 +354,33 @@ def first_point_per_voxel(points, mask, voxel_size: float, out_capacity: int):
     prev = jnp.concatenate([jnp.full((1,), -9, group.dtype), group[:-1]])
     first = valid_s & (group != prev)
     out_idx = jnp.cumsum(first.astype(jnp.int32)) - 1
-    n_unique = jnp.maximum(out_idx[-1] + 1, 0)
+    # NOTE: capacity overflow (n_found > out_capacity) is NOT folded into
+    # window_drops — it is the configured downsample budget binding
+    # (normal on dense scans; callers see it as n_unique == out_capacity),
+    # whereas window_drops is SILENT loss to the packed-sort window.
+    n_found = jnp.maximum(out_idx[-1] + 1, 0)
+    n_unique = jnp.minimum(n_found, out_capacity)
 
-    pts_s = points[order]
-    tgt = jnp.where(first & (out_idx < out_capacity), out_idx, out_capacity)
-    out = jnp.zeros((out_capacity, 3), dtype=points.dtype)
-    out = out.at[tgt].set(pts_s, mode="drop")
-    out_mask = jnp.zeros((out_capacity,), dtype=bool).at[tgt].set(first, mode="drop")
+    # Compact winners with ONE payload-carrying sort instead of two output
+    # scatters (scatters at 32k updates cost ~0.35 ms on a v5e; a 32k i64
+    # sort ~0.03): among kept lanes out_idx is distinct and nondecreasing,
+    # so sorting by (drop flag | out_idx | original index) puts winner k at
+    # slot k.
+    drop = ~(first & (out_idx < out_capacity))
+    packed2 = (
+        (drop.astype(jnp.int64) << 62)
+        | (out_idx.astype(jnp.int64) << _IDX_BITS)
+        | order.astype(jnp.int64)
+    )
+    if n < out_capacity:  # tiny inputs (tests): pad to the output width
+        packed2 = jnp.concatenate(
+            [packed2, jnp.full((out_capacity - n,), _SENTINEL)]
+        )
+    idx_sel = (
+        jnp.sort(packed2)[:out_capacity] & ((1 << _IDX_BITS) - 1)
+    ).astype(jnp.int32)
+    out_mask = jnp.arange(out_capacity, dtype=jnp.int32) < n_unique
+    out = jnp.where(out_mask[:, None], points[idx_sel], 0.0)
     return out, out_mask, n_unique, window_drops
 
 
@@ -340,9 +410,11 @@ class GroupedCloud(NamedTuple):
 
 _DS_BITS = 9  # fine (half-voxel) window per axis for the fused downsample
 _RANK_CAP = 255
+_TAU_BITS = 12  # quantized-time tiebreak width (sort-free time-first wins)
 
 
-def fused_downsample(points, mask, voxel_size: float, out_capacity: int):
+def fused_downsample(points, mask, voxel_size: float, out_capacity: int,
+                     tau=None):
     """First-point-per-(voxel/2) downsample that ALSO groups its output by
     the full-size voxel, so a following map insert needs no second sort.
 
@@ -351,6 +423,15 @@ def fused_downsample(points, mask, voxel_size: float, out_capacity: int):
     downsample), `coarse` the map voxel. Truncation-toward-zero composes
     under the 2x ratio, so coarse = tdiv2(fine) matches the reference's
     separate trunc(p/voxel).
+
+    `tau` ((N,) f32 in [0, 1], optional): per-point normalized time. When
+    given, a 12-bit quantized tau rides the sort key above the index, so
+    the within-cell winner is the EARLIEST point — the reference's
+    time-sorted first-wins semantics (frame.cpp:28-51 sort + icp.cpp:9-30
+    first-in wins) WITHOUT the preprocess-side full-scan sort + 131k-row
+    reorder gather (~0.9 ms/scan at 64-beam scale on a v5e). Quantization
+    ties fall back to sensor order. Callers on unsorted scans
+    (LidarConfig.sort_by_time=False) pass it; sorted scans don't need it.
 
     Returns a GroupedCloud at `voxel_size/2` resolution, grouped by
     `voxel_size` voxels.
@@ -375,13 +456,22 @@ def fused_downsample(points, mask, voxel_size: float, out_capacity: int):
     )
     fkey = (fres[:, 0] << 4) | (fres[:, 1] << 2) | fres[:, 2]  # 6 bits
     key = (ckey << 6) | fkey.astype(jnp.int64)
-    packed = (key << _IDX_BITS) | jnp.arange(n, dtype=jnp.int64)
+    low_bits = _IDX_BITS
+    low = jnp.arange(n, dtype=jnp.int64)
+    if tau is not None:
+        # (3*_DS_BITS + 6) key + 12 tau + 18 idx = 63 bits: exactly fits
+        # a non-negative int64 (fkey <= 42 keeps the packed value below
+        # the all-ones sentinel)
+        tq = jnp.clip(tau * ((1 << _TAU_BITS) - 1), 0, (1 << _TAU_BITS) - 1)
+        low = (tq.astype(jnp.int64) << _IDX_BITS) | low
+        low_bits += _TAU_BITS
+    packed = (key << low_bits) | low
     packed = jnp.where(valid, packed, _SENTINEL)
     s = jnp.sort(packed)
 
     idx_s = (s & ((1 << _IDX_BITS) - 1)).astype(jnp.int32)
-    fine_key = s >> _IDX_BITS
-    coarse_key = s >> (_IDX_BITS + 6)
+    fine_key = s >> low_bits
+    coarse_key = s >> (low_bits + 6)
     valid_s = s < _SENTINEL
     pos = jnp.arange(n, dtype=jnp.int32)
 
@@ -391,7 +481,10 @@ def fused_downsample(points, mask, voxel_size: float, out_capacity: int):
     c_first = valid_s & (coarse_key != prev_c)
 
     out_idx = jnp.cumsum(first.astype(jnp.int32)) - 1  # target output position
-    n_unique = jnp.minimum(jnp.maximum(out_idx[-1] + 1, 0), out_capacity)
+    # capacity overflow (budget binding, n_unique == out_capacity) is
+    # intentionally NOT window_drops — see first_point_per_voxel
+    n_found = jnp.maximum(out_idx[-1] + 1, 0)
+    n_unique = jnp.minimum(n_found, out_capacity)
     # output position of the current map-voxel head (out_idx is nondecreasing)
     head_out = jax.lax.cummax(jnp.where(c_first, out_idx, 0))
 
@@ -462,6 +555,7 @@ def gather_candidates(m: VoxelMap, queries, qmask, cfg: MapConfig):
     """
     k = cfg.max_points_per_voxel
     n = queries.shape[0]
+    assert m.points.size, "the f32 candidate fetch requires store_points=True"
     slots, present, nb = _neighbor_slots(m, queries, qmask, cfg)
     safe_slot = jnp.where(present, slots, 0)
     # gather K-point block-row PREFIXES (cfg.nn_points of K) through an
@@ -723,107 +817,98 @@ def nearest_neighbors(m: VoxelMap, queries, qmask, cfg: MapConfig):
 # Insert (reference voxel_hash_map.cpp:12-62)
 # ---------------------------------------------------------------------------
 
-def _find_or_bump(m: VoxelMap, qkeys, active, cfg: MapConfig):
-    """Find-or-allocate a table slot for each active (unique) key.
-
-    Find: dense-grid lookup + key verification (one element gather). A
-    stale grid entry reads as missing and allocation self-heals it below.
-    Allocate: missing keys take sequential slots from the bump cursor —
-    rank-among-missing via one cumsum, no probing, no while_loop, no
-    contest (the hash-window claim loop this replaces cost ~2-6 ms/insert
-    in window gathers alone and serialized under vmap). Evicted slots are
-    reclaimed only by `rebuild` (append-only slab + periodic compaction).
-    Keys beyond capacity are dropped and counted.
-
-    Callers must pass UNIQUE active keys (group heads) — duplicates would
-    each allocate a slot.
-
-    Returns (new_keys, slots (N,) i32 with -1 for dropped/inactive,
-             new_next_slot (), dropped ()).
-    """
-    capacity = m.keys.shape[0]
-    gp = grid_pos(qkeys, cfg)
-    gslot = m.grid[gp]
-    safe = jnp.maximum(gslot, 0)
-    found = active & (gslot >= 0) & (m.keys[safe] == qkeys)
-    missing = active & ~found
-
-    rank = jnp.cumsum(missing.astype(jnp.int32)) - 1
-    cand_slot = m.next_slot + rank
-    alloc = missing & (cand_slot < capacity)
-    n_missing = jnp.sum(missing, dtype=jnp.int32)
-    new_next = jnp.minimum(m.next_slot + n_missing, capacity)
-    dropped = jnp.sum(missing & ~alloc, dtype=jnp.int32)
-
-    slots = jnp.where(found, safe, jnp.where(alloc, cand_slot, -1))
-    new_keys = m.keys.at[jnp.where(alloc, cand_slot, capacity)].set(
-        qkeys, mode="drop"
-    )
-    return new_keys, slots, new_next, dropped
-
-
 def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
                    keys=None) -> VoxelMap:
     """Insert a pre-grouped compacted cloud (fused_downsample output).
 
     Within a voxel, earlier positions win the block's remaining capacity,
     matching the reference's sequential insert order
-    (voxel_hash_map.cpp:48-61). Only group heads look up/allocate; members
-    take their head's slot via `head_pos`.
+    (voxel_hash_map.cpp:48-61). v4 gather budget — element gathers cost a
+    flat ~0.28 ms per 32k on a v5e, so the insert uses exactly THREE:
+      1. find: heads read their grid cell (fingerprint-verified, _lookup
+         semantics inline) — misses allocate bump-cursor slots and write
+         their cells;
+      2. resolve: EVERY row re-reads the updated grid — members get their
+         group's slot without the former slots[head_pos] gather, and
+         dropped groups (capacity exhausted) verify as absent;
+      3. base: current per-slot counts npts[slot].
+    Scatters address the 2D slabs with (row, col) scalar indices — the
+    former flat-view scatters forced materialized reshapes of the whole
+    slab each way (~0.23 ms each at (131072, 30)).
 
     Invariant relied on: slots at/above the bump cursor hold +inf point
     rows and npts == 0 — maintained by create/rebuild; evict_far resets
-    rows of tombstoned slots — so newly allocated slots need no reset here.
+    rows of tombstoned slots — so newly allocated slots need no reset
+    here, and resurrected (evicted-then-reinserted) voxels restart at
+    row 0 through their stale grid cell.
     """
     k = cfg.max_points_per_voxel
     capacity = cfg.capacity
-    n = g.points.shape[0]
     if keys is None:
         keys = pack_key(voxel_of(g.points, cfg.voxel_size))
-
-    active_head = g.head & g.mask
-    new_keys, slots, new_next, dropped = _find_or_bump(
-        m, keys, active_head, cfg
-    )
-    # refresh the dense index for every resolved head: newly allocated slots
-    # gain their entry; stale entries (evicted-then-reinserted voxels, grid
-    # aliasing) self-heal. Head keys are unique, so targets never collide.
+    sb = _slot_bits(cfg)
+    fp = _fp_of(keys, cfg)
+    gp = grid_pos(keys, cfg)
     gsize = m.grid.shape[0]
-    ok_head = active_head & (slots >= 0)
-    new_grid = m.grid.at[
-        jnp.where(ok_head, grid_pos(keys, cfg), gsize)
-    ].set(slots, mode="drop")
 
-    slot = slots[jnp.minimum(g.head_pos, n - 1)]  # my head's slot
-    ok = g.mask & (slot >= 0)
-    base = jnp.where(ok, m.npts[jnp.where(ok, slot, 0)], 0)
+    # find (gather 1): heads probe their cell
+    active_head = g.head & g.mask
+    cell = m.grid[gp]
+    found = active_head & (cell >= 0) & ((cell >> sb) == fp)
+    missing = active_head & ~found
+
+    # allocate: missing heads take sequential bump-cursor slots
+    rank_m = jnp.cumsum(missing.astype(jnp.int32)) - 1
+    cand_slot = m.next_slot + rank_m
+    alloc = missing & (cand_slot < capacity)
+    n_missing = jnp.sum(missing, dtype=jnp.int32)
+    new_next = jnp.minimum(m.next_slot + n_missing, capacity)
+    dropped = jnp.sum(missing & ~alloc, dtype=jnp.int32)
+
+    head_slot = jnp.where(
+        found, cell & ((1 << sb) - 1), jnp.where(alloc, cand_slot, -1)
+    )
+    ok_head = active_head & (head_slot >= 0)
+    # allocated heads write their cell (also self-heals a fingerprint-
+    # mismatching stale cell by overwriting it); keys are written for ALL
+    # ok heads so a resurrected tombstoned slot flips DELETED -> key
+    new_grid = m.grid.at[jnp.where(alloc, gp, gsize)].set(
+        (fp << sb) | cand_slot, mode="drop"
+    )
+    new_keys = m.keys.at[jnp.where(ok_head, head_slot, capacity)].set(
+        keys, mode="drop"
+    )
+
+    # resolve (gather 2): every row through the updated grid. Group keys
+    # are shared within a group, so members land on their head's cell.
+    cell2 = new_grid[gp]
+    ok = g.mask & (cell2 >= 0) & ((cell2 >> sb) == fp)
+    slot = jnp.where(ok, cell2 & ((1 << sb) - 1), 0)
+    # base (gather 3): pre-insert per-slot count
+    base = jnp.where(ok, m.npts[slot], 0)
     pos = base + g.rank
     ok = ok & (pos < k)
-    flat = jnp.where(ok, slot * (k * 3) + pos * 3, capacity * k * 3)
-    # three flat per-component scatters: a single windowed lax.scatter of
-    # [x,y,z] triples lowers catastrophically on TPU (measured 62 ms/step
-    # vs 9.5), so scalar-index scatters it is
-    pts_view = m.points.reshape(-1)
-    for c in range(3):
-        pts_view = pts_view.at[flat + c].set(g.points[:, c], mode="drop")
-    new_points = pts_view.reshape(capacity, k * 3)
-    new_npts = m.npts.at[jnp.where(ok, slot, capacity)].max(pos + 1, mode="drop")
+    row = jnp.where(ok, slot, capacity)  # OOB row drops the update
+
+    new_points = m.points
+    if m.points.size:  # store_points=False skips the f32 mirror entirely
+        for c in range(3):
+            new_points = new_points.at[row, pos * 3 + c].set(
+                g.points[:, c], mode="drop"
+            )
+    new_npts = m.npts.at[row].max(pos + 1, mode="drop")
     if cfg.packed_nn:
-        # mirror into the packed-point NN slab: one i32 scatter at the same
-        # (slot, pos) targets, limited to the first Kp points per voxel.
-        # Encode against the STORED key (the group key, possibly one voxel
-        # off the point's true voxel for pre-correction insert keys) — the
-        # fetch decodes against the same key.
+        # mirror into the packed-point NN slab at the same (slot, pos),
+        # limited to the first Kp points per voxel. Encode against the
+        # STORED key (the group key, possibly one voxel off the point's
+        # true voxel for pre-correction insert keys) — the fetch decodes
+        # against the same key.
         kp = cfg.packed_width
         pk = _pk_encode(
             g.points[:, 0], g.points[:, 1], g.points[:, 2],
             keys, cfg.voxel_size,
         )
-        flat_pk = jnp.where(ok & (pos < kp), slot * kp + pos, capacity * kp)
-        new_packed = (
-            m.packed.reshape(-1).at[flat_pk].set(pk, mode="drop")
-            .reshape(capacity, kp)
-        )
+        new_packed = m.packed.at[row, pos].set(pk, mode="drop")
     else:
         new_packed = m.packed
     return VoxelMap(new_keys, new_points, new_npts,
@@ -887,14 +972,21 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
     far_block = occupied & (jnp.sum(dvox * dvox, axis=-1) > cfg.max_range**2)
 
     if not exact_boundary:
-        # the grid is left untouched: entries for evicted voxels go stale
-        # and fail the key verification on lookup (never corruption); a
-        # re-inserted voxel self-heals its entry in insert_grouped
+        # the grid is left untouched: a stale cell still fingerprint-
+        # matches its (tombstoned) slot, whose rows are reset to
+        # +inf/sentinel here — fetches see an empty block, and insert
+        # resurrects the slot in place (base restarts at npts = 0)
         new_keys = jnp.where(far_block, DELETED, m.keys)
-        new_points = jnp.where(far_block[:, None], jnp.inf, m.points)
-        # m.packed keeps garbage in tombstoned columns: those slots are
-        # unreachable (every lookup verifies keys through the grid) and are
-        # only reused after `rebuild` resets the whole slab
+        new_points = (
+            jnp.where(far_block[:, None], jnp.inf, m.points)
+            if m.points.size
+            else m.points
+        )
+        new_packed = (
+            jnp.where(far_block[:, None], _PK_SENT32, m.packed)
+            if m.packed.size
+            else m.packed
+        )
         return VoxelMap(
             new_keys,
             new_points,
@@ -903,9 +995,11 @@ def evict_far(m: VoxelMap, origin, cfg: MapConfig, exact_boundary: bool = False)
             m.drops,
             m.grid,
             m.next_slot,
-            m.packed,
+            new_packed,
         )
 
+    if not m.points.size:
+        raise ValueError("exact_boundary eviction requires store_points=True")
     pts = m.points.reshape(c, k, 3)  # cold path: exact_boundary only
     live = jnp.arange(k, dtype=jnp.int32)[None, :] < m.npts[:, None]
     d2 = jnp.sum((pts - origin[None, None, :].astype(jnp.float32)) ** 2, axis=-1)
@@ -960,9 +1054,39 @@ def update(m: VoxelMap, points, mask, pose, cfg: MapConfig) -> VoxelMap:
 # ---------------------------------------------------------------------------
 
 
-def export_points(m: VoxelMap, cfg: MapConfig):
-    """Full map cloud (reference voxel_hash_map.cpp:173-198). Returns (C*K,3), mask."""
+def export_points(m: VoxelMap, cfg: MapConfig, origin=None):
+    """Full map cloud (reference voxel_hash_map.cpp:173-198).
+
+    Returns ((C*K, 3) f32, mask). With store_points=False the cloud is
+    decoded from the packed slab: voxel-local quantization (~3 mm at 1 m
+    voxels), at most `packed_width` points per voxel, and keys unwrap
+    around `origin` ((3,) world position, e.g. the current pose — the keys
+    are wrapped to 10 bits/axis, so a far-from-origin map needs the
+    reference point; defaults to the world origin).
+    """
     k = cfg.max_points_per_voxel
+    if not m.points.size:
+        k = cfg.packed_width
+        origin_vox = (
+            voxel_of(jnp.asarray(origin, jnp.float32), cfg.voxel_size)
+            if origin is not None
+            else jnp.zeros((3,), jnp.int32)
+        )
+        occ = m.keys >= 0
+        live = (
+            jnp.arange(k, dtype=jnp.int32)[None, :]
+            < jnp.minimum(m.npts, k)[:, None]
+        ) & occ[:, None] & (m.packed >= 0)
+        kv_rel = unpack_key_rel(jnp.maximum(m.keys, 0), origin_vox)  # (C, 3)
+        kv = kv_rel + origin_vox[None, :]
+        vs = cfg.voxel_size
+        cols = [
+            _pk_decode_axis(m.packed, shift, kv[:, axis:axis + 1], 0.0, vs)
+            for axis, shift in ((0, 2 * _PKL_BITS), (1, _PKL_BITS), (2, 0))
+        ]
+        pts = jnp.stack(cols, axis=-1).reshape(cfg.capacity * k, 3)
+        mask = live.reshape(-1)
+        return jnp.where(mask[:, None], pts, 0.0), mask
     live = (
         jnp.arange(cfg.capacity * k, dtype=jnp.int32) % k
     ) < jnp.repeat(m.npts, k)
@@ -989,14 +1113,20 @@ def rebuild(m: VoxelMap, cfg: MapConfig) -> VoxelMap:
     rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1
     dst = jnp.where(occupied, rank, cfg.capacity)
     new_keys = jnp.full_like(m.keys, EMPTY).at[dst].set(m.keys, mode="drop")
-    pts = jnp.full_like(m.points, jnp.inf).at[dst].set(m.points, mode="drop")
+    pts = (
+        jnp.full_like(m.points, jnp.inf).at[dst].set(m.points, mode="drop")
+        if m.points.size
+        else m.points
+    )
     npts = jnp.zeros_like(m.npts).at[dst].set(
         jnp.where(occupied, m.npts, 0), mode="drop"
     )
-    # regenerate the dense index from scratch (all slots moved)
+    # regenerate the dense index from scratch (all slots moved): cells
+    # pack (fingerprint << slot_bits | new slot)
+    sb = _slot_bits(cfg)
     grid = jnp.full_like(m.grid, -1).at[
         jnp.where(occupied, grid_pos(live_keys, cfg), m.grid.shape[0])
-    ].set(rank, mode="drop")
+    ].set((_fp_of(live_keys, cfg) << sb) | rank, mode="drop")
     n_live = jnp.sum(occupied, dtype=jnp.int32)
     if m.packed.size:
         # move packed rows with their slots; freed rows reset to the

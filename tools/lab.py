@@ -26,7 +26,7 @@ from lidar_imu_slam_tpu.host import synthetic  # noqa: E402
 from lidar_imu_slam_tpu.models import kiss_icp  # noqa: E402
 from lidar_imu_slam_tpu.ops.preprocess import RawScan, preprocess_scan, pack_raw_scan  # noqa: E402
 
-CACHE = "/tmp/lis_lab.npz"
+CACHE = "/tmp/lis_lab2.npz"  # v2: scans carry per-point azimuth timestamps
 N_SCANS = 22
 PTS = 131072
 
@@ -34,13 +34,17 @@ PTS = 131072
 def make_cfg(neigh=8):
     backend = os.environ.get("LIS_GN_BACKEND", "xla")
     nn_points = int(os.environ.get("LIS_NN_POINTS", "0"))
+    sort = bool(int(os.environ.get("LIS_SORT", "0")))
+    store = bool(int(os.environ.get("LIS_STORE_POINTS", "0")))
     return cfgmod.PipelineConfig(
         lidar=cfgmod.LidarConfig(
-            num_scan_lines=64, max_points=PTS, min_range=2.5, max_range=80.0
+            num_scan_lines=64, max_points=PTS, min_range=2.5, max_range=80.0,
+            sort_by_time=sort,
         ),
         map=cfgmod.MapConfig(
             voxel_size=1.0, max_range=80.0, capacity=1 << 17, neighborhood=neigh,
             nn_points=nn_points,
+            store_points=store or backend == "xla",
         ),
         icp=cfgmod.IcpConfig(
             max_map_points=32768, max_source_points=4096, gn_backend=backend,
@@ -74,7 +78,10 @@ def load_scans(cfg):
     pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
     return [
         jax.block_until_ready(
-            pre(pack_raw_scan(xyz, stamp=st, max_points=PTS))
+            pre(pack_raw_scan(
+                xyz, time=synthetic.azimuth_times(xyz, st), stamp=st,
+                max_points=PTS,
+            ))
         )
         for xyz, st in raws
     ]
