@@ -41,19 +41,36 @@ import numpy as np
 
 def _make_raws(cfg, n_scans, points_per_scan):
     """Host-resident packed RawScans (numpy pytrees): upload + device
-    preprocess happen inside the timed loops."""
+    preprocess happen inside the timed loops. Rendered scans are cached on
+    disk — the synthetic render costs minutes on this 1-core host and is
+    not part of anything being measured."""
+    import os
+
     import jax
 
     from lidar_imu_slam_tpu.host import synthetic
     from lidar_imu_slam_tpu.ops.preprocess import pack_raw_scan
 
-    world = synthetic.make_world(seed=0, n_points=600_000, extent=(160.0, 40.0, 12.0))
-    gt = synthetic.make_trajectory(n_poses=n_scans, speed=8.0, yaw_rate=0.01, dt=0.1)
-    raws = []
-    for i, pose in enumerate(gt):
-        pts = synthetic.render_scan(
-            world, pose, points_per_scan, 2.5, 80.0, noise=0.02, seed=i
+    cache = f"/tmp/lis_bench_{n_scans}x{points_per_scan}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        clouds = [z[f"xyz{i}"] for i in range(n_scans)]
+    else:
+        world = synthetic.make_world(
+            seed=0, n_points=600_000, extent=(160.0, 40.0, 12.0)
         )
+        gt = synthetic.make_trajectory(
+            n_poses=n_scans, speed=8.0, yaw_rate=0.01, dt=0.1
+        )
+        clouds = [
+            synthetic.render_scan(
+                world, pose, points_per_scan, 2.5, 80.0, noise=0.02, seed=i
+            )
+            for i, pose in enumerate(gt)
+        ]
+        np.savez(cache, **{f"xyz{i}": c for i, c in enumerate(clouds)})
+    raws = []
+    for i, pts in enumerate(clouds):
         raw = pack_raw_scan(
             pts,
             time=synthetic.azimuth_times(pts, i * 0.1),
@@ -62,6 +79,31 @@ def _make_raws(cfg, n_scans, points_per_scan):
         )
         raws.append(jax.tree.map(np.asarray, raw))
     return raws
+
+
+class _Prefetcher:
+    """Double-buffered host->device upload: device_put scan i+depth while
+    the device works on scan i. This is the production feed shape (a real
+    pipeline DMAs the next packet during the current step) — WITHOUT it,
+    each ~2 MB scan upload serializes with the step through the axon
+    tunnel and the 'eager loop' benchmark measures tunnel bandwidth, not
+    the pipeline."""
+
+    def __init__(self, raws, depth: int = 3):
+        import jax
+
+        self._put = jax.device_put
+        self._raws = raws
+        self._buf = {i: self._put(raws[i]) for i in range(min(depth, len(raws)))}
+        self._depth = depth
+
+    def __call__(self, i):
+        import jax
+
+        for j in range(i + 1, min(i + 1 + self._depth, len(self._raws))):
+            if j not in self._buf:
+                self._buf[j] = self._put(self._raws[j])
+        return self._buf.pop(i) if i in self._buf else jax.device_put(self._raws[i])
 
 
 def main():
@@ -103,23 +145,26 @@ def main():
     pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
 
     # --- single stream, end-to-end ------------------------------------------
+    # prefetched uploads (see _Prefetcher), device preprocess + step timed
+    fetch = _Prefetcher(raws)
     state = kiss_icp.init_state(cfg)
     for i in range(2):  # warmup: compile + map fill-in
-        state, out = kiss_icp.register_frame_step(state, pre(raws[i]), cfg)
+        state, out = kiss_icp.register_frame_step(state, pre(fetch(i)), cfg)
     np.asarray(out.pose)
     t0 = time.perf_counter()
     for i in range(2, n_scans):
-        state, out = kiss_icp.register_frame_step(state, pre(raws[i]), cfg)
+        state, out = kiss_icp.register_frame_step(state, pre(fetch(i)), cfg)
     np.asarray(out.pose)  # true host sync (block_until_ready does not
     # synchronize through the axon tunnel)
     single = (n_scans - 2) / (time.perf_counter() - t0)
 
     # --- measured per-scan latency (per-scan host sync) ----------------------
+    fetch = _Prefetcher(raws)
     lat_state = kiss_icp.init_state(cfg)
     lat = []
     for i in range(n_scans):
         t0 = time.perf_counter()
-        lat_state, out = kiss_icp.register_frame_step(lat_state, pre(raws[i]), cfg)
+        lat_state, out = kiss_icp.register_frame_step(lat_state, pre(fetch(i)), cfg)
         np.asarray(out.pose)
         lat.append(time.perf_counter() - t0)
     lat = np.asarray(lat[2:]) * 1000.0  # drop warm-up/compile scans
@@ -183,7 +228,7 @@ def _bench_chained(cfg, raws, n_scans):
     from lidar_imu_slam_tpu.models import kiss_icp
     from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
 
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *raws)
+    stacked = jax.device_put(jax.tree.map(lambda *xs: jnp.stack(xs), *raws))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(state, stacked):
@@ -194,11 +239,16 @@ def _bench_chained(cfg, raws, n_scans):
 
         return jax.lax.scan(body, state, stacked)
 
-    state = kiss_icp.init_state(cfg)
-    state, poses = run(state, stacked)  # compile + map fill
+    # warm the compile on a throwaway state, then time a FRESH state over
+    # the real trajectory. (Re-running the chain on the WARM state — the
+    # round-2 bench shape — replays scan 0 against the scan-19 pose: every
+    # ICP starts ~15 m off the guess, runs its full refetch budget, and the
+    # 'steady state' number measures a teleport workload, ~1.7x slower than
+    # honest odometry. Fresh-state timing includes map fill-in, which is
+    # what real odometry does.)
+    _, poses = run(kiss_icp.init_state(cfg), stacked)  # compile
     np.asarray(poses)
-    # steady state: re-run the chain on the warm map (matches the
-    # single-stream measurement, which warms 2 scans before timing)
+    state = kiss_icp.init_state(cfg)
     t0 = time.perf_counter()
     _, poses = run(state, stacked)
     np.asarray(poses)
@@ -270,12 +320,13 @@ def _bench_lio(cfg, raws, n_scans, pre):
         )
 
     packets = [packet(i) for i in range(n_scans)]
+    fetch = _Prefetcher(raws)
     for i in range(2):
-        state, out = lio.step_donated(state, pre(raws[i]), packets[i], cfg)
+        state, out = lio.step_donated(state, pre(fetch(i)), packets[i], cfg)
     np.asarray(out.pose)
     t0 = time.perf_counter()
     for i in range(2, n_scans):
-        state, out = lio.step_donated(state, pre(raws[i]), packets[i], cfg)
+        state, out = lio.step_donated(state, pre(fetch(i)), packets[i], cfg)
     np.asarray(out.pose)
     return (n_scans - 2) / (time.perf_counter() - t0)
 
@@ -298,10 +349,21 @@ def _bench_monte_carlo(n_streams, n_steps: int = 8):
         lidar=cfgmod.LidarConfig(
             num_scan_lines=16, max_points=16384, min_range=1.0, max_range=40.0
         ),
+        # packed-only map + batched Pallas GN: the XLA unrolled path
+        # re-materializes a (S, 2048, NC) HBM distance tensor every GN
+        # iteration; the kernel keeps candidates in VMEM per stream.
+        # nn_points=4: 8-neighborhood x 4 stored points = 32 candidates per
+        # query (ensemble streams track at this width — asserted by the
+        # tracking fraction below). grid_z=32: the dense index is per-stream
+        # state (256 replicas); the default 128-deep z grid would cost
+        # 8 MB/stream for a +-12 m world.
         map=cfgmod.MapConfig(
-            voxel_size=1.0, max_range=40.0, capacity=1 << 13, neighborhood=8
+            voxel_size=1.0, max_range=40.0, capacity=1 << 13, neighborhood=8,
+            nn_points=4, grid_z=32, store_points=False,
         ),
-        icp=cfgmod.IcpConfig(max_map_points=8192, max_source_points=2048),
+        icp=cfgmod.IcpConfig(
+            max_map_points=8192, max_source_points=2048, gn_backend="pallas",
+        ),
     )
     bcfg = parallel.streams.batch_config(cfg)
     world = synthetic.make_world(seed=1, n_points=200_000, extent=(60.0, 20.0, 8.0))

@@ -136,11 +136,16 @@ def cmd_trace():
     ev = [e for e in t["traceEvents"] if e.get("ph") == "X" and e["pid"] in tpu]
     agg = collections.Counter()
     cnt = collections.Counter()
+    total = 0
     for e in ev:
-        agg[e["name"]] += e.get("dur", 0)
-        cnt[e["name"]] += 1
-    for name, d in agg.most_common(20):
+        name = e["name"]
+        agg[name] += e.get("dur", 0)
+        cnt[name] += 1
+        if not name.startswith("jit_"):  # module envelopes double-count
+            total += e.get("dur", 0)
+    for name, d in agg.most_common(60):
         print(f"{d/1e3/5:9.3f} ms/step  x{cnt[name]/5:6.1f}  {name[:64]}")
+    print(f"--- device total (non-envelope): {total/1e3/5:.3f} ms/step")
 
 
 def cmd_streams(n_streams):
