@@ -215,29 +215,56 @@ def main():
     )
 
 
-def _bench_chained(cfg, raws, n_scans):
-    """All steps as one lax.scan over device-stacked RAW scans: the body is
+def _bench_chained(cfg, raws, n_scans, block: int = 10):
+    """Steps as lax.scan blocks over device-stacked RAW scans: the body is
     preprocess + register (the sequential pose dependency is preserved;
     per-step host dispatch AND preprocess serialization are removed). The
-    state is donated so the map slabs update in place across calls."""
+    state is donated so the map slabs update in place across calls.
+
+    Map maintenance is hoisted OUT of the scan body to block boundaries:
+    a lax.cond carrying the map pytree inside the scan body defeats XLA's
+    loop-carry buffer aliasing and copies every map slab per scan
+    (measured ~2.5 ms/scan at 64-beam scale on a v5e); the same cond once
+    per `block` scans in the donated program costs ~0.1 ms. The block
+    predicate triggers a quarter-capacity early so `block` scans of
+    allocations always fit before the next check."""
+    import dataclasses
     import functools
 
     import jax
     import jax.numpy as jnp
 
     from lidar_imu_slam_tpu.models import kiss_icp
+    from lidar_imu_slam_tpu.ops import voxel_map
     from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
 
-    stacked = jax.device_put(jax.tree.map(lambda *xs: jnp.stack(xs), *raws))
+    body_cfg = cfg.replace(
+        map=dataclasses.replace(cfg.map, auto_rebuild=False)
+    )
+    blocks = [
+        jax.device_put(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *raws[i : i + block])
+        )
+        for i in range(0, n_scans - (n_scans % block), block)
+    ]
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(state, stacked):
+    def run_block(state, stacked):
         def body(st, raw):
-            sc = preprocess_scan(raw, cfg.lidar)
-            st, out = kiss_icp.register_frame(st, sc, cfg)
+            sc = preprocess_scan(raw, body_cfg.lidar)
+            st, out = kiss_icp.register_frame(st, sc, body_cfg)
             return st, out.pose
 
-        return jax.lax.scan(body, state, stacked)
+        state, poses = jax.lax.scan(body, state, stacked)
+        cap = cfg.map.capacity
+        need = (state.map.next_slot > cap - cap // 4) & (
+            state.map.tombstones > cap // 16
+        )
+        new_map = jax.lax.cond(
+            need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
+            state.map,
+        )
+        return state._replace(map=new_map), poses
 
     # warm the compile on a throwaway state, then time a FRESH state over
     # the real trajectory. (Re-running the chain on the WARM state — the
@@ -246,13 +273,15 @@ def _bench_chained(cfg, raws, n_scans):
     # 'steady state' number measures a teleport workload, ~1.7x slower than
     # honest odometry. Fresh-state timing includes map fill-in, which is
     # what real odometry does.)
-    _, poses = run(kiss_icp.init_state(cfg), stacked)  # compile
+    state, poses = run_block(kiss_icp.init_state(cfg), blocks[0])  # compile
     np.asarray(poses)
+    del state
     state = kiss_icp.init_state(cfg)
     t0 = time.perf_counter()
-    _, poses = run(state, stacked)
+    for b in blocks:
+        state, poses = run_block(state, b)
     np.asarray(poses)
-    return n_scans / (time.perf_counter() - t0)
+    return len(blocks) * block / (time.perf_counter() - t0)
 
 
 def _bench_batched(cfg, raws, n_scans, n_streams):

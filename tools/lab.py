@@ -36,6 +36,8 @@ def make_cfg(neigh=8):
     nn_points = int(os.environ.get("LIS_NN_POINTS", "0"))
     sort = bool(int(os.environ.get("LIS_SORT", "0")))
     store = bool(int(os.environ.get("LIS_STORE_POINTS", "0")))
+    outer = int(os.environ.get("LIS_UNROLL_OUTER", "0"))
+    inner = int(os.environ.get("LIS_UNROLL_INNER", "0"))
     return cfgmod.PipelineConfig(
         lidar=cfgmod.LidarConfig(
             num_scan_lines=64, max_points=PTS, min_range=2.5, max_range=80.0,
@@ -45,9 +47,12 @@ def make_cfg(neigh=8):
             voxel_size=1.0, max_range=80.0, capacity=1 << 17, neighborhood=neigh,
             nn_points=nn_points,
             store_points=store or backend == "xla",
+            auto_rebuild=bool(int(os.environ.get("LIS_AUTO_REBUILD", "1"))),
         ),
         icp=cfgmod.IcpConfig(
             max_map_points=32768, max_source_points=4096, gn_backend=backend,
+            batch_unroll_outer=outer,
+            batch_unroll_inner=inner,
         ),
     )
 
@@ -148,6 +153,71 @@ def cmd_trace():
     print(f"--- device total (non-envelope): {total/1e3/5:.3f} ms/step")
 
 
+def cmd_chain():
+    """Fresh-state device-pipelined chain over the cached drive (the bench's
+    chained mode at lab scale): scan blocks with map maintenance hoisted to
+    block boundaries (a map-carrying lax.cond INSIDE the scan body copies
+    every map slab per scan — measured ~2.5 ms/scan)."""
+    import dataclasses
+    import functools
+
+    from lidar_imu_slam_tpu.ops import voxel_map
+
+    cfg = make_cfg()
+    block = 11
+    body_cfg = cfg.replace(
+        map=dataclasses.replace(cfg.map, auto_rebuild=False)
+    )
+    z = np.load(CACHE)
+    raws = []
+    for i in range(N_SCANS):
+        xyz, st = z[f"xyz{i}"], float(z[f"stamp{i}"])
+        raws.append(jax.tree.map(np.asarray, pack_raw_scan(
+            xyz, time=synthetic.azimuth_times(xyz, st), stamp=st,
+            max_points=PTS,
+        )))
+    blocks = [
+        jax.device_put(jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *raws[i : i + block]))
+        for i in range(0, N_SCANS - (N_SCANS % block), block)
+    ]
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_block(state, stacked):
+        def body(st, raw):
+            sc = preprocess_scan(raw, body_cfg.lidar)
+            st, out = kiss_icp.register_frame(st, sc, body_cfg)
+            return st, (out.pose, out.icp_iterations)
+
+        state, outs = jax.lax.scan(body, state, stacked)
+        cap = cfg.map.capacity
+        need = (state.map.next_slot > cap - cap // 4) & (
+            state.map.tombstones > cap // 16
+        )
+        new_map = jax.lax.cond(
+            need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
+            state.map,
+        )
+        return state._replace(map=new_map), outs
+
+    st0, (poses, _) = run_block(kiss_icp.init_state(cfg), blocks[0])
+    np.asarray(poses)
+    del st0
+    n_timed = len(blocks) * block
+    for trial in range(3):
+        state = kiss_icp.init_state(cfg)
+        t0 = time.perf_counter()
+        all_iters = []
+        for b in blocks:
+            state, (poses, iters) = run_block(state, b)
+            all_iters.append(iters)
+        np.asarray(poses)
+        dt = (time.perf_counter() - t0) / n_timed * 1e3
+        iters = np.concatenate([np.asarray(x) for x in all_iters])
+        print(f"trial {trial}: {dt:.2f} ms/scan fresh-chain  "
+              f"iters={iters.astype(int).tolist()}")
+
+
 def cmd_streams(n_streams):
     cfg = make_cfg()
     bcfg = parallel.streams.batch_config(cfg)
@@ -179,6 +249,8 @@ if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "time"
     if cmd == "time":
         cmd_time()
+    elif cmd == "chain":
+        cmd_chain()
     elif cmd == "trace":
         cmd_trace()
     elif cmd == "streams":
