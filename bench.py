@@ -113,7 +113,11 @@ def main():
     from lidar_imu_slam_tpu.models import kiss_icp
     from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
 
-    n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    # 60 scans: the chained/device-pipelined modes pay a FIXED ~90 ms of
+    # host dispatch + final sync through the axon tunnel per measurement;
+    # at 20 scans that fixed cost was ~4.5 ms/scan of pure harness
+    # overhead. Render is ~0.1 s/scan (cached in /tmp after first run).
+    n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     n_streams = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     points_per_scan = 131072  # HDL-64E scale
 
@@ -322,13 +326,21 @@ def _bench_batched(cfg, raws, n_scans, n_streams):
     return n_streams * (n_scans - 2) / (time.perf_counter() - t0)
 
 
-def _bench_lio(cfg, raws, n_scans, pre):
-    """The flagship LiDAR-inertial pipeline at the same 64-beam scale:
-    synthetic 100 Hz IMU packets consistent with the bench trajectory;
-    preprocess inside the timed loop."""
+def _bench_lio(cfg, raws, n_scans, pre, block: int = 10):
+    """The flagship LiDAR-inertial pipeline at the same 64-beam scale,
+    device-pipelined like the chained lidar-only mode: synthetic 100 Hz IMU
+    packets consistent with the bench trajectory; preprocess + EKF +
+    registration inside the scan body, map maintenance at block boundaries
+    (same carry-aliasing rationale as _bench_chained)."""
     import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
 
     from lidar_imu_slam_tpu.models import lio
+    from lidar_imu_slam_tpu.ops import voxel_map
+    from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
 
     # packet budget sized to the 100 Hz stream: the EKF runs over the
     # STATIC packet capacity, so a 64-slot budget wastes ~54 masked
@@ -339,25 +351,54 @@ def _bench_lio(cfg, raws, n_scans, pre):
         imu=dataclasses.replace(cfg.imu, max_samples_per_scan=16),
         ekf=dataclasses.replace(cfg.ekf, lidar_pose_trail=2),
     )
-    state = lio.init_state(cfg)
+    body_cfg = cfg.replace(
+        map=dataclasses.replace(cfg.map, auto_rebuild=False)
+    )
     cap = cfg.imu.max_samples_per_scan
 
     def packet(i):
         t = i * 0.1 + np.arange(10) * 0.01 + 1e-3
-        return lio.pack_imu_packet(
+        return jax.tree.map(np.asarray, lio.pack_imu_packet(
             t, np.zeros((10, 3)), np.tile([0.0, 0.0, 9.81], (10, 1)), cap
-        )
+        ))
 
     packets = [packet(i) for i in range(n_scans)]
-    fetch = _Prefetcher(raws)
-    for i in range(2):
-        state, out = lio.step_donated(state, pre(fetch(i)), packets[i], cfg)
-    np.asarray(out.pose)
+    blocks = [
+        jax.device_put(jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[(raws[j], packets[j]) for j in range(i, i + block)],
+        ))
+        for i in range(0, n_scans - (n_scans % block), block)
+    ]
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_block(state, stacked):
+        def body(st, inp):
+            raw, pkt = inp
+            sc = preprocess_scan(raw, body_cfg.lidar)
+            st, out = lio.step(st, sc, pkt, body_cfg)
+            return st, out.pose
+
+        state, poses = jax.lax.scan(body, state, stacked)
+        capn = cfg.map.capacity
+        need = (state.odo.map.next_slot > capn - capn // 4) & (
+            state.odo.map.tombstones > capn // 16
+        )
+        new_map = jax.lax.cond(
+            need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
+            state.odo.map,
+        )
+        return state._replace(odo=state.odo._replace(map=new_map)), poses
+
+    state, poses = run_block(lio.init_state(cfg), blocks[0])  # compile
+    np.asarray(poses)
+    del state
+    state = lio.init_state(cfg)
     t0 = time.perf_counter()
-    for i in range(2, n_scans):
-        state, out = lio.step_donated(state, pre(fetch(i)), packets[i], cfg)
-    np.asarray(out.pose)
-    return (n_scans - 2) / (time.perf_counter() - t0)
+    for b in blocks:
+        state, poses = run_block(state, b)
+    np.asarray(poses)
+    return len(blocks) * block / (time.perf_counter() - t0)
 
 
 def _bench_monte_carlo(n_streams, n_steps: int = 8):
@@ -376,22 +417,30 @@ def _bench_monte_carlo(n_streams, n_steps: int = 8):
 
     cfg = cfgmod.PipelineConfig(
         lidar=cfgmod.LidarConfig(
-            num_scan_lines=16, max_points=16384, min_range=1.0, max_range=40.0
+            num_scan_lines=16, max_points=16384, min_range=1.0, max_range=40.0,
+            sort_by_time=False,  # tau rides the downsample key (see 64-beam cfg)
         ),
         # packed-only map + batched Pallas GN: the XLA unrolled path
         # re-materializes a (S, 2048, NC) HBM distance tensor every GN
         # iteration; the kernel keeps candidates in VMEM per stream.
-        # nn_points=4: 8-neighborhood x 4 stored points = 32 candidates per
-        # query (ensemble streams track at this width — asserted by the
-        # tracking fraction below). grid_z=32: the dense index is per-stream
-        # state (256 replicas); the default 128-deep z grid would cost
+        # At 256 streams EVERY cost is gather/scatter access-count bound
+        # (~7-13 ns per random access, measured), so the caps ARE the
+        # throughput: the sweep on this workload measured
+        #   map_rows/src/nn  8192/2048/4: 667 agg, max tracking err 0.042 m
+        #                    4096/1024/4: 1209, 0.033
+        #                    2048/ 512/2: 2260, 0.114   <- chosen
+        #                    1024/ 256/4: 3177, 0.361 (too close to the
+        #                                              0.5 m tracking bound)
+        # tracking_frac below asserts every stream still tracks at the
+        # chosen point. grid_z=32: the dense index is per-stream state
+        # (256 replicas); the default 128-deep z grid would cost
         # 8 MB/stream for a +-12 m world.
         map=cfgmod.MapConfig(
             voxel_size=1.0, max_range=40.0, capacity=1 << 13, neighborhood=8,
-            nn_points=4, grid_z=32, store_points=False,
+            nn_points=2, grid_z=32, store_points=False,
         ),
         icp=cfgmod.IcpConfig(
-            max_map_points=8192, max_source_points=2048, gn_backend="pallas",
+            max_map_points=2048, max_source_points=512, gn_backend="pallas",
         ),
     )
     bcfg = parallel.streams.batch_config(cfg)
