@@ -300,7 +300,11 @@ def kitti_64beam() -> PipelineConfig:
         # at 1 m voxels the half-voxel recovery margin (0.5 m) covers KITTI
         # CV-prediction error; measured faster AND more accurate (MapConfig).
         map=MapConfig(capacity=1 << 18, neighborhood=8),
-        icp=IcpConfig(deskew=True),
+        # fused Pallas GN backend: measured 5.0 vs 10.5 ms/step (xla) warm
+        # eager on a v5e at this scale (tools/lab.py time, round 3); pose
+        # parity pinned by tests/test_pallas_gn.py. Off-TPU it runs in
+        # interpret mode — set gn_backend="xla" for the bit-exact f64 path.
+        icp=IcpConfig(deskew=True, gn_backend="pallas"),
     )
 
 
@@ -309,7 +313,10 @@ def livox_dense() -> PipelineConfig:
     return PipelineConfig(
         lidar=LidarConfig(num_scan_lines=6, max_points=262144),
         map=MapConfig(capacity=1 << 18, neighborhood=8),
-        icp=IcpConfig(max_map_points=65536, max_source_points=16384),
+        icp=IcpConfig(
+            max_map_points=65536, max_source_points=16384,
+            gn_backend="pallas",  # same A/B rationale as kitti_64beam
+        ),
     )
 
 
