@@ -50,7 +50,9 @@ def make_cfg(neigh=8):
             auto_rebuild=bool(int(os.environ.get("LIS_AUTO_REBUILD", "1"))),
         ),
         icp=cfgmod.IcpConfig(
-            max_map_points=32768, max_source_points=4096, gn_backend=backend,
+            max_map_points=int(os.environ.get("LIS_MAP_POINTS", "32768")),
+            max_source_points=int(os.environ.get("LIS_SRC_POINTS", "4096")),
+            gn_backend=backend,
             batch_unroll_outer=outer,
             batch_unroll_inner=inner,
         ),
