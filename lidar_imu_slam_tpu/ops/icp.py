@@ -223,7 +223,13 @@ def icp_registration(
     # re-queries the map every iteration (registration.cpp:108-126);
     # identical results while corrections stay within the 3x3x3 shell.
     refetch_d2 = (0.5 * map_cfg.voxel_size) ** 2
-    max_refetch = 6
+    # every outer round runs >= 1 inner GN iteration (the inner while's
+    # first body always executes: stale starts False, converged was checked
+    # by the outer cond), so `max_iterations` outer rounds suffice for the
+    # iteration budget to bind — max_iterations is the real cap, not the
+    # refetch count (round-3 advisor: a hard-coded refetch cap silently
+    # shadowed max_iterations)
+    max_refetch = max_iterations
     min_corr = min_correspondences
     map_cfg_max_step = max_step_norm
 
@@ -547,9 +553,19 @@ def icp_registration_fused(
     """
     if interpret is None:
         interpret = _interpret_default()
+    if points.shape[0] % 128 != 0:
+        raise ValueError(
+            f"gn_backend='pallas' needs max_source_points % 128 == 0 "
+            f"(got {points.shape[0]}): the fused kernel tiles queries as "
+            "(N/128, 128) lanes"
+        )
     max_d2 = max_corresp_dist * max_corresp_dist
     refetch_d2 = (0.5 * map_cfg.voxel_size) ** 2
-    max_refetch = 6
+    # enough refetch rounds for the iteration budget to bind (each round
+    # runs >= 1 kernel iteration while unconverged, and may stale after
+    # just 1): max_iterations is the real cap on BOTH backends
+    # (round-3 advisor finding)
+    max_refetch = max_iterations
     px = points[:, 0].astype(jnp.float64)
     py = points[:, 1].astype(jnp.float64)
     pz = points[:, 2].astype(jnp.float64)
@@ -607,6 +623,12 @@ def icp_registration_fused_unrolled(
     kernel batches over its grid via the custom vmap rule."""
     if interpret is None:
         interpret = _interpret_default()
+    if points.shape[0] % 128 != 0:
+        raise ValueError(
+            f"gn_backend='pallas' needs max_source_points % 128 == 0 "
+            f"(got {points.shape[0]}): the fused kernel tiles queries as "
+            "(N/128, 128) lanes"
+        )
     max_d2 = max_corresp_dist * max_corresp_dist
     refetch_d2 = (0.5 * map_cfg.voxel_size) ** 2
     px = points[:, 0].astype(jnp.float64)

@@ -34,6 +34,13 @@ PTS = 131072
 def make_cfg(neigh=8):
     backend = os.environ.get("LIS_GN_BACKEND", "xla")
     nn_points = int(os.environ.get("LIS_NN_POINTS", "0"))
+    src_points = int(os.environ.get("LIS_SRC_POINTS", "4096"))
+    if backend == "pallas" and src_points % 128 != 0:
+        raise SystemExit(
+            f"LIS_SRC_POINTS={src_points} must be a multiple of 128 with "
+            "LIS_GN_BACKEND=pallas (the fused kernel tiles queries as "
+            "(N/128, 128) lanes)"
+        )
     sort = bool(int(os.environ.get("LIS_SORT", "0")))
     store = bool(int(os.environ.get("LIS_STORE_POINTS", "0")))
     outer = int(os.environ.get("LIS_UNROLL_OUTER", "0"))
@@ -51,7 +58,7 @@ def make_cfg(neigh=8):
         ),
         icp=cfgmod.IcpConfig(
             max_map_points=int(os.environ.get("LIS_MAP_POINTS", "32768")),
-            max_source_points=int(os.environ.get("LIS_SRC_POINTS", "4096")),
+            max_source_points=src_points,
             gn_backend=backend,
             batch_unroll_outer=outer,
             batch_unroll_inner=inner,
@@ -116,21 +123,17 @@ def cmd_time():
               f"iters={int(out.icp_iterations)}")
 
 
-def cmd_trace():
+def _trace_report(trace_fn, n_steps: int, top: int = 60):
+    """Run trace_fn under the profiler and print a per-op breakdown."""
     import collections
     import glob
     import gzip
     import json
     import shutil
 
-    cfg = make_cfg()
-    scans = load_scans(cfg)
-    state = warm_state(cfg, scans)
     shutil.rmtree("/tmp/lis_trace2", ignore_errors=True)
     with jax.profiler.trace("/tmp/lis_trace2"):
-        for _ in range(5):
-            s2, out = kiss_icp.register_frame_jit(state, scans[21], cfg)
-        np.asarray(out.pose)
+        trace_fn()
     f = glob.glob("/tmp/lis_trace2/**/*.trace.json.gz", recursive=True)[0]
     with gzip.open(f) as fh:
         t = json.load(fh)
@@ -150,23 +153,35 @@ def cmd_trace():
         cnt[name] += 1
         if not name.startswith("jit_"):  # module envelopes double-count
             total += e.get("dur", 0)
-    for name, d in agg.most_common(60):
-        print(f"{d/1e3/5:9.3f} ms/step  x{cnt[name]/5:6.1f}  {name[:64]}")
-    print(f"--- device total (non-envelope): {total/1e3/5:.3f} ms/step")
+    for name, d in agg.most_common(top):
+        print(f"{d/1e3/n_steps:9.3f} ms/step  x{cnt[name]/n_steps:6.1f}  {name[:72]}")
+    print(f"--- device total (non-envelope): {total/1e3/n_steps:.3f} ms/step")
 
 
-def cmd_chain():
-    """Fresh-state device-pipelined chain over the cached drive (the bench's
-    chained mode at lab scale): scan blocks with map maintenance hoisted to
-    block boundaries (a map-carrying lax.cond INSIDE the scan body copies
-    every map slab per scan — measured ~2.5 ms/scan)."""
+def cmd_trace():
+    cfg = make_cfg()
+    scans = load_scans(cfg)
+    state = warm_state(cfg, scans)
+
+    def run():
+        for _ in range(5):
+            s2, out = kiss_icp.register_frame_jit(state, scans[21], cfg)
+        np.asarray(out.pose)
+
+    _trace_report(run, 5)
+
+
+def _chain_setup(block: int = 11):
+    """Shared builder for the device-pipelined chain experiments: the bench's
+    chained mode at lab scale (map maintenance hoisted to block boundaries —
+    a map-carrying lax.cond INSIDE the scan body copies every map slab per
+    scan, measured ~2.5 ms/scan)."""
     import dataclasses
     import functools
 
     from lidar_imu_slam_tpu.ops import voxel_map
 
     cfg = make_cfg()
-    block = 11
     body_cfg = cfg.replace(
         map=dataclasses.replace(cfg.map, auto_rebuild=False)
     )
@@ -202,6 +217,11 @@ def cmd_chain():
         )
         return state._replace(map=new_map), outs
 
+    return cfg, blocks, run_block, block
+
+
+def cmd_chain():
+    cfg, blocks, run_block, block = _chain_setup()
     st0, (poses, _) = run_block(kiss_icp.init_state(cfg), blocks[0])
     np.asarray(poses)
     del st0
@@ -218,6 +238,119 @@ def cmd_chain():
         iters = np.concatenate([np.asarray(x) for x in all_iters])
         print(f"trial {trial}: {dt:.2f} ms/scan fresh-chain  "
               f"iters={iters.astype(int).tolist()}")
+
+
+def cmd_chain_trace():
+    """Op breakdown of the device-pipelined chain body (the headline shape)."""
+    cfg, blocks, run_block, block = _chain_setup()
+    st0, (poses, _) = run_block(kiss_icp.init_state(cfg), blocks[0])
+    np.asarray(poses)
+    del st0
+
+    def run():
+        state = kiss_icp.init_state(cfg)
+        for b in blocks:
+            state, (poses, _) = run_block(state, b)
+        np.asarray(poses)
+
+    _trace_report(run, len(blocks) * block)
+
+
+def _lio_chain_setup(block: int = 11):
+    """Device-pipelined LIO chain (bench _bench_lio shape at lab scale)."""
+    import dataclasses
+    import functools
+
+    from lidar_imu_slam_tpu.models import lio
+    from lidar_imu_slam_tpu.ops import voxel_map
+
+    cfg = make_cfg()
+    cfg = cfg.replace(
+        imu=dataclasses.replace(cfg.imu, max_samples_per_scan=16),
+        ekf=dataclasses.replace(
+            cfg.ekf,
+            lidar_pose_trail=int(os.environ.get("LIS_TRAIL", "2")),
+        ),
+    )
+    body_cfg = cfg.replace(
+        map=dataclasses.replace(cfg.map, auto_rebuild=False)
+    )
+    cap = cfg.imu.max_samples_per_scan
+
+    def packet(i):
+        t = i * 0.1 + np.arange(10) * 0.01 + 1e-3
+        return jax.tree.map(np.asarray, lio.pack_imu_packet(
+            t, np.zeros((10, 3)), np.tile([0.0, 0.0, 9.81], (10, 1)), cap
+        ))
+
+    z = np.load(CACHE)
+    raws = []
+    for i in range(N_SCANS):
+        xyz, st = z[f"xyz{i}"], float(z[f"stamp{i}"])
+        raws.append(jax.tree.map(np.asarray, pack_raw_scan(
+            xyz, time=synthetic.azimuth_times(xyz, st), stamp=st,
+            max_points=PTS,
+        )))
+    packets = [packet(i) for i in range(N_SCANS)]
+    blocks = [
+        jax.device_put(jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[(raws[j], packets[j]) for j in range(i, i + block)],
+        ))
+        for i in range(0, N_SCANS - (N_SCANS % block), block)
+    ]
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_block(state, stacked):
+        def body(st, inp):
+            raw, pkt = inp
+            sc = preprocess_scan(raw, body_cfg.lidar)
+            st, out = lio.step(st, sc, pkt, body_cfg)
+            return st, out.pose
+
+        state, poses = jax.lax.scan(body, state, stacked)
+        capn = cfg.map.capacity
+        need = (state.odo.map.next_slot > capn - capn // 4) & (
+            state.odo.map.tombstones > capn // 16
+        )
+        new_map = jax.lax.cond(
+            need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
+            state.odo.map,
+        )
+        return state._replace(odo=state.odo._replace(map=new_map)), poses
+
+    return cfg, blocks, run_block, block, lio
+
+
+def cmd_lio_chain():
+    cfg, blocks, run_block, block, lio = _lio_chain_setup()
+    st0, poses = run_block(lio.init_state(cfg), blocks[0])
+    np.asarray(poses)
+    del st0
+    n_timed = len(blocks) * block
+    for trial in range(3):
+        state = lio.init_state(cfg)
+        t0 = time.perf_counter()
+        for b in blocks:
+            state, poses = run_block(state, b)
+        np.asarray(poses)
+        dt = (time.perf_counter() - t0) / n_timed * 1e3
+        print(f"trial {trial}: {dt:.2f} ms/scan fresh LIO chain")
+
+
+def cmd_lio_chain_trace():
+    cfg, blocks, run_block, block, lio = _lio_chain_setup()
+    st0, poses = run_block(lio.init_state(cfg), blocks[0])
+    np.asarray(poses)
+    del st0
+
+    def run():
+        state = lio.init_state(cfg)
+        for b in blocks:
+            state, poses = run_block(state, b)
+        np.asarray(poses)
+
+    _trace_report(run, len(blocks) * block)
 
 
 def cmd_streams(n_streams):
@@ -253,6 +386,12 @@ if __name__ == "__main__":
         cmd_time()
     elif cmd == "chain":
         cmd_chain()
+    elif cmd == "chain_trace":
+        cmd_chain_trace()
+    elif cmd == "lio_chain":
+        cmd_lio_chain()
+    elif cmd == "lio_chain_trace":
+        cmd_lio_chain_trace()
     elif cmd == "trace":
         cmd_trace()
     elif cmd == "streams":
