@@ -135,6 +135,14 @@ def main():
             # perf mode: packed i32 slab only — the fused Pallas ICP reads
             # it exclusively; export decodes at ~3 mm quantization
             store_points=False,
+            # head-compacted insert (voxel_map._insert_grouped_compact):
+            # per-voxel access ops run at 20480 head rows instead of 32768
+            # point rows. This workload peaks at ~16k distinct insert
+            # voxels/scan (64-beam urban, 1 m voxels) — 20480 leaves 25%
+            # margin and the chained run's per-scan ICP iteration counts
+            # are bit-identical to the uncapped path (round-4 A/B);
+            # VoxelMap.drops stays 0
+            max_insert_voxels=20480,
         ),
         # KITTI-realistic budgets: KISS-ICP's 1.5 m source downsample yields
         # ~2-4k points on HDL-64E frames. estimation_threshold relaxed from

@@ -115,6 +115,17 @@ class MapConfig:
     # stream batches (parallel.streams.batch_config does) — a batched
     # predicate lowers cond to select and both branches would run per scan.
     auto_rebuild: bool = True
+    # Static cap on DISTINCT map voxels touched per insert (0 = no cap).
+    # When set below the insert's row count, `insert_grouped` compacts the
+    # group heads to this width and runs every per-voxel access (grid
+    # lookup/claim, key/count writes) at head width instead of full row
+    # width — XLA TPU gather/scatter cost scales with ACCESS COUNT (~8 ns
+    # per element), and the per-voxel ops were ~1.1 ms of a 2.7 ms scan at
+    # 32k rows on a v5e. Groups beyond the cap (in voxel-key order) are
+    # dropped whole and counted in `VoxelMap.drops` — the same truncation
+    # in kind as the downsample's own `max_map_points` budget. Perf
+    # configs set this to the measured per-scan head count + margin.
+    max_insert_voxels: int = 0
 
     @property
     def packed_width(self) -> int:

@@ -222,6 +222,145 @@ def register_core(
     )
 
 
+def _register_frame_fast(state: KissState, scan: Scan, cfg: PipelineConfig):
+    """`register_frame` with the per-scan pose bookkeeping fused into two
+    Pallas kernels (ops/pallas/pose_chain.py) and the ICP carrier in
+    f32 + float-float — the pallas-backend fast path.
+
+    The classic path's ~70 scalar f64 ops (prediction, guess, threshold,
+    deskew twist, divergence gate, orthonormalize, delta) each lower to
+    their own XLA f64-emulation fusion with ~10-20 us dispatch latency:
+    ~1.2 ms of a 4.3 ms scan on a v5e (round-4 profiling). Here the f64
+    state crosses into f32/float-float ONCE per scan (one packed split,
+    one packed recombine) and everything between is two kernel dispatches
+    plus f32 vector work. Same math as `register_frame` up to documented
+    precision deviations (PARITY.md): f32 rotations (per-scan numeric
+    noise ~1e-7 rad, 3 orders below ICP noise), float-float translations
+    (~2^-48), Newton orthonormalization instead of the quaternion
+    round-trip."""
+    from ..ops.pallas import pose_chain
+
+    thr = state.threshold
+    # ONE float-float split for every f64 scalar the kernels consume
+    vec = jnp.concatenate([
+        state.pose.reshape(16),
+        state.pose_prev.reshape(16),
+        state.first_pose.reshape(16),
+        thr.model_error_sq.reshape(1),
+    ])
+    hi = vec.astype(jnp.float32)
+    lo = (vec - hi.astype(jnp.float64)).astype(jnp.float32)
+    md = thr.model_deviation.reshape(16).astype(jnp.float32)
+    ints = jnp.stack([state.num_poses, thr.num_samples])
+    row = pose_chain.pose_pre(
+        hi, lo, md, ints,
+        min_motion_th=cfg.icp.min_motion_th,
+        initial_threshold=cfg.icp.initial_threshold,
+        max_range=cfg.map.max_range,
+        deskew_on=cfg.icp.deskew,
+    )
+
+    # vector deskew driven by the kernel's twist scalars (identity when the
+    # kernel gated them to zero — no lax.cond)
+    deskewed_xyz = deskew_ops.deskew_from_scalars(scan.xyz, scan.tau, row[19:32])
+
+    guess_R9, g_th, g_tl = row[0:9], row[9:12], row[12:15]
+    sigma = row[15]
+
+    # world transform at the guess + fused grouped downsample (same trunk
+    # as register_core, f32 pair instead of f64 pose)
+    x, y, z = deskewed_xyz[:, 0], deskewed_xyz[:, 1], deskewed_xyz[:, 2]
+    tg = g_th + g_tl
+    wx = guess_R9[0] * x + guess_R9[1] * y + guess_R9[2] * z + tg[0]
+    wy = guess_R9[3] * x + guess_R9[4] * y + guess_R9[5] * z + tg[1]
+    wz = guess_R9[6] * x + guess_R9[7] * y + guess_R9[8] * z + tg[2]
+    world = jnp.stack([wx, wy, wz], axis=-1)
+    g = voxel_map.fused_downsample(
+        world, scan.mask, cfg.map.voxel_size, cfg.icp.max_map_points,
+        tau=None if cfg.lidar.sort_by_time else scan.tau,
+    )
+    source, source_mask, _, src_drops = voxel_map.first_point_per_voxel(
+        g.points, g.mask, 1.5 * cfg.map.voxel_size, cfg.icp.max_source_points
+    )
+    d_sq = jnp.sum((source - tg[None, :]) ** 2, axis=-1)
+    source_mask = stats.iqr_inlier_mask(d_sq.astype(jnp.float64), source_mask)
+
+    # ICP on the WORLD-frame source from an identity carrier — the result
+    # is the correction only; pose_post composes corr @ guess (classic
+    # path: registration_dispatch with identity + lie.compose)
+    eye9 = jnp.asarray([1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)
+    zero3 = jnp.zeros(3, jnp.float32)
+    R9f, thf, tlf, iters, n_corr, rms, conv = icp_ops.icp_registration_fused_pair(
+        m=state.map, points=source, mask=source_mask,
+        guess_R9=eye9, guess_th=zero3, guess_tl=zero3,
+        max_corresp_dist=3.0 * sigma, kernel_th=sigma / 3.0,
+        map_cfg=cfg.map, max_iterations=cfg.icp.max_iterations,
+        estimation_threshold=cfg.icp.estimation_threshold,
+        min_correspondences=cfg.icp.min_correspondences,
+        max_step_norm=cfg.icp.max_step_norm, n_inner=cfg.icp.fused_inner,
+    )
+
+    prow = pose_chain.pose_post(
+        jnp.concatenate([R9f, thf, tlf, guess_R9, g_th, g_tl]),
+        max_model_deviation=cfg.icp.max_model_deviation,
+    )
+
+    # map update with the correction delta only (reference icp.cpp:81)
+    delta_R = prow[16:25].reshape(3, 3)
+    g_corr = g._replace(
+        points=lie.rotate_points(delta_R, g.points) + prow[25:28]
+    )
+    pre_keys = voxel_map.pack_key(
+        voxel_map.voxel_of(g.points, cfg.map.voxel_size)
+    )
+    new_map = voxel_map.insert_grouped(state.map, g_corr, cfg.map, keys=pre_keys)
+    new_map = voxel_map.evict_far(new_map, prow[9:12], cfg.map)
+    if cfg.map.auto_rebuild:
+        cap = cfg.map.capacity
+        need = (new_map.next_slot > cap - cap // 8) & (
+            new_map.tombstones > cap // 16
+        )
+        new_map = jax.lax.cond(
+            need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
+            new_map,
+        )
+
+    # ONE recombine back to the f64 state/output dtypes
+    new_pose = lie.make_transform(
+        prow[0:9].reshape(3, 3).astype(jnp.float64),
+        prow[9:12].astype(jnp.float64) + prow[12:15].astype(jnp.float64),
+    )
+    thr_state = icp_ops.ThresholdState(
+        row[17].astype(jnp.float64) + row[32].astype(jnp.float64),
+        row[18].astype(jnp.int32),
+        prow[28:44].astype(jnp.float64).reshape(4, 4),
+    )
+
+    new_state = KissState(
+        map=new_map,
+        pose=new_pose,
+        pose_prev=jnp.where(state.num_poses == 0, new_pose, state.pose),
+        first_pose=jnp.where(state.num_poses == 0, new_pose, state.first_pose),
+        num_poses=state.num_poses + 1,
+        threshold=thr_state,
+    )
+    out = FrameOutput(
+        pose=new_pose,
+        keypoints=source,
+        keypoints_mask=source_mask,
+        deskewed=g_corr.points,
+        deskewed_mask=g.mask,
+        icp_iterations=iters,
+        num_correspondences=n_corr,
+        residual_rms=rms.astype(jnp.float64),
+        sigma=sigma.astype(jnp.float64),
+        map_voxels=voxel_map.num_voxels(new_map),
+        icp_converged=conv,
+        window_drops=g.window_drops + src_drops,
+    )
+    return new_state, out
+
+
 def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
     """One odometry step (reference icp.cpp:49-86). Returns (state', FrameOutput).
 
@@ -239,6 +378,14 @@ def register_frame(state: KissState, scan: Scan, cfg: PipelineConfig):
         world-frame downsample (the reference re-transforms from sensor
         frame, voxel_hash_map.cpp:132-144 — same points up to f32 rounding).
     """
+    if cfg.icp.gn_backend == "pallas" and cfg.icp.batch_unroll_outer == 0:
+        # unbatched fused-kernel path: pose bookkeeping in two Pallas
+        # kernels, float-float ICP carrier. Batched configs
+        # (batch_unroll_outer > 0, set by parallel.streams.batch_config)
+        # stay on the classic path below — under vmap the f64 chain is
+        # vectorized across streams and its dispatch overhead amortizes,
+        # while the scalar kernels have no batched lowering.
+        return _register_frame_fast(state, scan, cfg)
     # 1. constant-velocity deskew, gated on config (static — lax.cond would
     #    run the per-point exp map under vmap even when disabled) and on
     #    >= 3 poses (reference icp.cpp:36-47)

@@ -76,3 +76,37 @@ def constant_velocity_deskew_fast(
     b = jnp.where(tiny, s * s * s / 6.0, (th - si) / (wn_safe**3))
     trans = s[:, None] * v[None, :] + a[:, None] * wxv[None, :] + b[:, None] * wwxv[None, :]
     return rot + trans
+
+
+def deskew_from_scalars(
+    points: jnp.ndarray,  # (N, 3) f32, sensor frame
+    tau: jnp.ndarray,  # (N,) f32 normalized time in [0, 1]
+    sc: jnp.ndarray,  # (13,) f32 twist pieces from the pose_pre kernel
+    mid_pose_timestamp: float = 0.5,
+) -> jnp.ndarray:
+    """`constant_velocity_deskew_fast`'s vector stage with the twist scalars
+    precomputed by the pose_pre kernel (ops/pallas/pose_chain.py):
+    sc = [|w|, k(3), v(3), w x v(3), w x (w x v)(3)]. An all-zero sc is the
+    identity (th = 0 -> rot = p, trans = 0), so the num_poses/deskew gating
+    lives in the kernel and no lax.cond wraps the vector math."""
+    wn = sc[0]
+    k = sc[1:4]
+    v = sc[4:7]
+    wxv = sc[7:10]
+    wwxv = sc[10:13]
+
+    s = tau.astype(jnp.float32) - jnp.float32(mid_pose_timestamp)
+    th = s * wn
+    c, si = jnp.cos(th), jnp.sin(th)
+
+    p = points.astype(jnp.float32)
+    kxp = jnp.cross(jnp.broadcast_to(k, p.shape), p)
+    kdp = p[:, 0] * k[0] + p[:, 1] * k[1] + p[:, 2] * k[2]
+    rot = p * c[:, None] + kxp * si[:, None] + k[None, :] * (kdp * (1.0 - c))[:, None]
+
+    tiny = wn < 1e-8
+    wn_safe = jnp.where(tiny, 1.0, wn)
+    a = jnp.where(tiny, 0.5 * s * s, (1.0 - c) / (wn_safe * wn_safe))
+    b = jnp.where(tiny, s * s * s / 6.0, (th - si) / (wn_safe**3))
+    trans = s[:, None] * v[None, :] + a[:, None] * wxv[None, :] + b[:, None] * wwxv[None, :]
+    return rot + trans

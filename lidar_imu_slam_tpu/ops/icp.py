@@ -544,13 +544,60 @@ def icp_registration_fused(
     n_inner: int = 6,
     interpret: bool | None = None,
 ) -> IcpResult:
-    """`icp_registration` with the fused-kernel inner loop.
+    """`icp_registration` with the fused-kernel inner loop — f64 facade
+    over `icp_registration_fused_pair` (one float-float split of the guess
+    in, one recombine out; the loop itself carries no f64)."""
+    g = init_guess.reshape(16)
+    gh = g.astype(jnp.float32)
+    gl = (g - gh.astype(jnp.float64)).astype(jnp.float32)
+    gh4, gl4 = gh.reshape(4, 4), gl.reshape(4, 4)
+    R9, th, tl, iters, n_corr, rms, converged = icp_registration_fused_pair(
+        m, points, mask, gh4[:3, :3].reshape(9), gh4[:3, 3], gl4[:3, 3],
+        max_corresp_dist, kernel_th, map_cfg, max_iterations,
+        estimation_threshold, min_correspondences, max_step_norm, n_inner,
+        interpret,
+    )
+    pose = lie.make_transform(
+        R9.reshape(3, 3).astype(jnp.float64),
+        th.astype(jnp.float64) + tl.astype(jnp.float64),
+    )
+    return IcpResult(pose, iters, n_corr, rms.astype(jnp.float64), converged)
+
+
+def icp_registration_fused_pair(
+    m: voxel_map.VoxelMap,
+    points,  # (N, 3) f32 sensor-frame source, N % 128 == 0
+    mask,  # (N,) bool
+    guess_R9,  # (9,) f32 row-major rotation of the initial guess
+    guess_th,  # (3,) f32 guess translation hi
+    guess_tl,  # (3,) f32 guess translation lo (float-float pair)
+    max_corresp_dist,
+    kernel_th,
+    map_cfg: MapConfig,
+    max_iterations: int,
+    estimation_threshold: float,
+    min_correspondences: int = 20,
+    max_step_norm: float = 2.0,
+    n_inner: int = 6,
+    interpret: bool | None = None,
+):
+    """The fused-kernel ICP loop with NO f64 anywhere: the accumulated pose
+    rides the while loop as (R f32, t float-float) and each outer round's
+    de-centering + composition happens inside `fused_gn_carry` — one kernel
+    dispatch per candidate refetch, a handful of f32 vector fusions around
+    it. (The former f64 carrier spent more per round on XLA's scalarized
+    f64-emulation fusions than on the GN math itself — round-4 profiling.)
 
     Outer `lax.while_loop` refetches candidates at the current pose (same
-    staleness semantics: the kernel freezes once its accumulated correction
-    drifts beyond half a voxel and reports `stale`); the kernel runs up to
-    `n_inner` GN iterations per fetch in one dispatch.
+    staleness semantics as `icp_registration`: the kernel freezes once its
+    accumulated correction drifts beyond half a voxel and reports `stale`);
+    the kernel runs up to `n_inner` GN iterations per dispatch.
+
+    Returns (R9 (9,) f32, t_hi (3,), t_lo (3,), iters i32, n_corr i32,
+    rms f32, converged bool) — the final world pose as a float-float pair.
     """
+    from .pallas import icp_gn
+
     if interpret is None:
         interpret = _interpret_default()
     if points.shape[0] % 128 != 0:
@@ -566,41 +613,74 @@ def icp_registration_fused(
     # just 1): max_iterations is the real cap on BOTH backends
     # (round-3 advisor finding)
     max_refetch = max_iterations
-    px = points[:, 0].astype(jnp.float64)
-    py = points[:, 1].astype(jnp.float64)
-    pz = points[:, 2].astype(jnp.float64)
+    px = points[:, 0].astype(jnp.float32)
+    py = points[:, 1].astype(jnp.float32)
+    pz = points[:, 2].astype(jnp.float32)
     qr = points.shape[0] // 128
     qmask_t = mask.reshape(qr, 128).astype(jnp.float32)
+    scal = jnp.stack([
+        jnp.asarray(kernel_th, jnp.float64),
+        jnp.asarray(max_d2, jnp.float64),
+        jnp.asarray(estimation_threshold, jnp.float64),
+        jnp.asarray(min_correspondences, jnp.float64),
+        jnp.asarray(max_step_norm, jnp.float64),
+        jnp.asarray(refetch_d2, jnp.float64),
+    ]).astype(jnp.float32)
 
     def cond(state):
-        r, iters, _, converged, _, _ = state
+        r, iters, _, _, _, converged, _, _ = state
         return (r < max_refetch) & (iters < max_iterations) & ~converged
 
     def body(state):
-        r, iters, T_icp, converged, n_corr, rms = state
-        T = lie.compose(T_icp, init_guess)
-        T_delta, nc, rms2, it, conv, _stale = _fused_round(
-            m, px, py, pz, mask, qmask_t, T, map_cfg, kernel_th, max_d2,
-            estimation_threshold, min_correspondences, max_step_norm,
-            refetch_d2, n_inner, interpret,
+        r, iters, R9, th, tl, converged, n_corr, rms = state
+        # world-frame source at the current pose (f32 — the GN kernel is
+        # f32 on centered coordinates anyway; see _fused_round's anchor
+        # rationale for why centering keeps this exact enough)
+        t0, t1, t2 = th[0] + tl[0], th[1] + tl[1], th[2] + tl[2]
+        wx = R9[0] * px + R9[1] * py + R9[2] * pz + t0
+        wy = R9[3] * px + R9[4] * py + R9[5] * pz + t1
+        wz = R9[6] * px + R9[7] * py + R9[8] * pz + t2
+        nq = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
+        anchor = jnp.stack([
+            jnp.sum(jnp.where(mask, wx, 0.0)),
+            jnp.sum(jnp.where(mask, wy, 0.0)),
+            jnp.sum(jnp.where(mask, wz, 0.0)),
+        ]) / nq
+        q = jnp.stack([
+            (wx - anchor[0]).reshape(qr, 128),
+            (wy - anchor[1]).reshape(qr, 128),
+            (wz - anchor[2]).reshape(qr, 128),
+        ])
+        world_f = jnp.stack([wx, wy, wz], axis=-1)
+        if map_cfg.packed_nn:
+            cand = voxel_map.gather_candidate_planes_packed(
+                m, world_f, mask, map_cfg, anchor
+            )
+        else:
+            cand = voxel_map.gather_candidate_planes(
+                m, world_f, mask, map_cfg, anchor
+            )
+        carry = jnp.concatenate([R9, th, tl, anchor])
+        R9n, thn, tln, nc, rms2, it, conv, _stale = icp_gn.fused_gn_carry(
+            q, qmask_t, cand, scal, carry, n_inner, interpret
         )
-        return (r + 1, iters + it, lie.compose(T_delta, T_icp), conv,
-                nc, rms2)
+        return (r + 1, iters + it.astype(jnp.int32), R9n, thn, tln, conv,
+                nc.astype(jnp.int32), rms2)
 
     init = (
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.eye(4, dtype=jnp.float64),
-        jnp.asarray(False),
-        jnp.int32(0),
-        jnp.float64(0.0),
+        jnp.int32(0), jnp.int32(0),
+        guess_R9.astype(jnp.float32), guess_th.astype(jnp.float32),
+        guess_tl.astype(jnp.float32),
+        jnp.asarray(False), jnp.int32(0), jnp.float32(0.0),
     )
-    _, iters, T_icp, converged, n_corr, rms = jax.lax.while_loop(
+    _, iters, R9, th, tl, converged, n_corr, rms = jax.lax.while_loop(
         cond, body, init
     )
     empty = voxel_map.num_voxels(m) == 0
-    pose = jnp.where(empty, init_guess, lie.compose(T_icp, init_guess))
-    return IcpResult(pose, iters, n_corr, rms, converged & ~empty)
+    R9 = jnp.where(empty, guess_R9.astype(jnp.float32), R9)
+    th = jnp.where(empty, guess_th.astype(jnp.float32), th)
+    tl = jnp.where(empty, guess_tl.astype(jnp.float32), tl)
+    return R9, th, tl, iters, n_corr, rms, converged & ~empty
 
 
 def icp_registration_fused_unrolled(

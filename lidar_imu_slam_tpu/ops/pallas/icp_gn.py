@@ -46,16 +46,21 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def _gn_iterations(n_inner, nc, scal, qx, qy, qz, qm, cand_at):
+def _gn_iterations(n_inner, nc, scal, qx, qy, qz, qm, cand_at,
+                   track_m: bool = False):
     """n_inner GN iterations. `cand_at(k, j)` reads candidate plane k
     (0=x,1=y,2=z) for slot j, shaped like qx. Returns the 16 output scalars
-    as one stacked (16,) f32."""
+    as one stacked (16,) f32 — plus, with `track_m`, the 9 entries of
+    M = I - R_total accumulated exactly from the small Rodrigues parts
+    (M @ anchor de-centers the translation without the catastrophic
+    I - R cancellation at f32: entries of M are O(theta), so the relative
+    error stays ~1e-7 of theta instead of ~1e-7 of 1)."""
     kth, maxd2, est_th = scal[0], scal[1], scal[2]
     min_corr, max_step, stale_d2 = scal[3], scal[4], scal[5]
 
     def iteration(carry):
         (r00, r01, r02, r10, r11, r12, r20, r21, r22,
-         t0, t1, t2, conv, stale, ncorr_o, rms_o, iters) = carry
+         t0, t1, t2, conv, stale, ncorr_o, rms_o, iters, M) = carry
         active = (conv < 0.5) & (stale < 0.5)
 
         wx = r00 * qx + r01 * qy + r02 * qz + t0
@@ -216,6 +221,23 @@ def _gn_iterations(n_inner, nc, scal, qx, qy, qz, qm, cand_at):
         m1 = e10 * t0 + e11 * t1 + e12 * t2 + dt1
         m2 = e20 * t0 + e21 * t1 + e22 * t2 + dt2
 
+        if track_m:
+            # M' = M + D @ R_prev with D = I - E = -(a W + b2 W^2); the
+            # diagonal 1 - e_ii is exact by Sterbenz (e_ii near 1), the
+            # off-diagonals are the small Rodrigues terms directly
+            d00, d11, d22 = 1.0 - e00, 1.0 - e11, 1.0 - e22
+            D = ((d00, -e01, -e02), (-e10, d11, -e12), (-e20, -e21, d22))
+            Rp = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
+            M = tuple(
+                tuple(
+                    M[i][j]
+                    + D[i][0] * Rp[0][j] + D[i][1] * Rp[1][j]
+                    + D[i][2] * Rp[2][j]
+                    for j in range(3)
+                )
+                for i in range(3)
+            )
+
         ncorr_o = jnp.where(active, ncorr, ncorr_o)
         rms_o = jnp.where(active, rms, rms_o)
         iters = iters + jnp.where(active, 1.0, 0.0)
@@ -226,18 +248,22 @@ def _gn_iterations(n_inner, nc, scal, qx, qy, qz, qm, cand_at):
         drift2 = m0 * m0 + m1 * m1 + m2 * m2
         stale = jnp.where((conv < 0.5) & (drift2 > stale_d2), 1.0, stale)
         return (n00, n01, n02, n10, n11, n12, n20, n21, n22,
-                m0, m1, m2, conv, stale, ncorr_o, rms_o, iters)
+                m0, m1, m2, conv, stale, ncorr_o, rms_o, iters, M)
 
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
+    m_init = ((zero, zero, zero),) * 3
     carry = (one, zero, zero, zero, one, zero, zero, zero, one,
-             zero, zero, zero, zero, zero, zero, zero, zero)
+             zero, zero, zero, zero, zero, zero, zero, zero, m_init)
     for _ in range(n_inner):
         carry = iteration(carry)
     (r00, r01, r02, r10, r11, r12, r20, r21, r22,
-     t0, t1, t2, conv, stale, ncorr, rms, iters) = carry
-    return jnp.stack([r00, r01, r02, r10, r11, r12, r20, r21, r22,
+     t0, t1, t2, conv, stale, ncorr, rms, iters, M) = carry
+    vals = jnp.stack([r00, r01, r02, r10, r11, r12, r20, r21, r22,
                       t0, t1, t2, ncorr, rms, iters, conv + 2.0 * stale])
+    if track_m:
+        return vals, M
+    return vals
 
 
 def _kernel(n_inner, nc, scal_ref, q_ref, qm_ref, c_ref, out_ref):
@@ -295,6 +321,94 @@ def _kernel_batched(n_inner, nc, scal_ref, q_ref, qm_ref, c_ref, out_ref):
         lambda k, j: c_ref[0, k, j],
     )
     out_ref[s, 0, :16] = vals
+
+
+def _kernel_carry(n_inner, nc, scal_ref, carry_ref, q_ref, qm_ref, c_ref,
+                  out_ref):
+    """`_kernel` plus in-kernel de-centering and composition with a carried
+    world pose — the whole ICP outer-round pose update in one dispatch.
+
+    carry (18,) f32 SMEM: [R_carry row-major 9 | t_carry hi 3 | t_carry lo 3
+    | anchor 3]. Queries/candidates arrive CENTERED on `anchor`; the carried
+    translation rides as a float-float pair (ops/pallas/ffmath.py) so km-
+    scale world positions keep ~2^-48 relative precision through the
+    per-round composition (T_world = Trans(a) T_centered Trans(-a) followed
+    by T_out = T_delta @ T_carry)."""
+    from . import ffmath as ff
+
+    scal = tuple(scal_ref[i] for i in range(6))
+    vals, M = _gn_iterations(
+        n_inner, nc, scal,
+        q_ref[0], q_ref[1], q_ref[2], qm_ref[:],
+        lambda k, j: c_ref[k, j],
+        track_m=True,
+    )
+    Rc = [[carry_ref[0], carry_ref[1], carry_ref[2]],
+          [carry_ref[3], carry_ref[4], carry_ref[5]],
+          [carry_ref[6], carry_ref[7], carry_ref[8]]]
+    tc_h = [carry_ref[9], carry_ref[10], carry_ref[11]]
+    tc_l = [carry_ref[12], carry_ref[13], carry_ref[14]]
+    anchor = [carry_ref[15], carry_ref[16], carry_ref[17]]
+
+    Rd = [[vals[0], vals[1], vals[2]],
+          [vals[3], vals[4], vals[5]],
+          [vals[6], vals[7], vals[8]]]
+    # de-center: t_world_delta = t_centered + M @ anchor (M = I - R_delta)
+    twd = [
+        vals[9 + i]
+        + M[i][0] * anchor[0] + M[i][1] * anchor[1] + M[i][2] * anchor[2]
+        for i in range(3)
+    ]
+    # compose with the carried pose: R_out = R_d @ R_c, t_out = R_d t_c + twd
+    R_out = [
+        [Rd[i][0] * Rc[0][j] + Rd[i][1] * Rc[1][j] + Rd[i][2] * Rc[2][j]
+         for j in range(3)]
+        for i in range(3)
+    ]
+    rt_h, rt_l = ff.mat3_apply_ff(Rd, tc_h, tc_l)
+    to_h, to_l = [], []
+    for i in range(3):
+        h, l = ff.add_f(rt_h[i], rt_l[i], twd[i])
+        to_h.append(h)
+        to_l.append(l)
+    out_ref[0, :19] = jnp.stack(
+        [R_out[0][0], R_out[0][1], R_out[0][2],
+         R_out[1][0], R_out[1][1], R_out[1][2],
+         R_out[2][0], R_out[2][1], R_out[2][2],
+         to_h[0], to_h[1], to_h[2], to_l[0], to_l[1], to_l[2],
+         vals[12], vals[13], vals[14], vals[15]]
+    )
+
+
+def fused_gn_carry(q, qmask, cand, scal, carry, n_inner: int,
+                   interpret: bool = False):
+    """`fused_gn` with the outer-round pose composition fused in-kernel.
+
+    carry (18,) f32: [R 9, t_hi 3, t_lo 3, anchor 3] — the accumulated
+    world pose and the centering anchor of this round's queries/candidates.
+    Returns (R9 (9,), t_hi (3,), t_lo (3,), n_corr f32, rms f32, iters f32,
+    converged bool, stale bool) with (R9, t) already composed:
+    T_out = T_delta @ T_carry.
+    """
+    nc = cand.shape[1]
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_kernel_carry, n_inner, nc),
+            out_shape=jax.ShapeDtypeStruct((1, LANE), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(scal.astype(jnp.float32), carry.astype(jnp.float32), q, qmask, cand)
+    row = out[0]
+    flags = row[18]
+    return (row[:9], row[9:12], row[12:15], row[15], row[16], row[17],
+            flags % 2.0 >= 1.0, flags >= 2.0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_inner", "interpret"))

@@ -31,3 +31,18 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/lis_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# VMA-exhaustion guard (round 4): one pytest process compiling the whole
+# suite accumulates ~350 VMAs per live executable (XLA CPU code pages +
+# mmap'd allocations) and crosses the kernel's vm.max_map_count (65,530
+# default) around test 137 — mmap starts failing and XLA segfaults/aborts
+# mid-compile (reproduced 4x at the same test; watcher showed 64,647 maps
+# at death). Dropping each module's executables caps the live set; the
+# persistent cache makes any cross-module recompiles cheap.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()

@@ -55,6 +55,7 @@ def make_cfg(neigh=8):
             nn_points=nn_points,
             store_points=store or backend == "xla",
             auto_rebuild=bool(int(os.environ.get("LIS_AUTO_REBUILD", "1"))),
+            max_insert_voxels=int(os.environ.get("LIS_INSERT_VOXELS", "0")),
         ),
         icp=cfgmod.IcpConfig(
             max_map_points=int(os.environ.get("LIS_MAP_POINTS", "32768")),
