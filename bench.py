@@ -350,6 +350,8 @@ def _bench_lio(cfg, raws, n_scans, pre, block: int = 10):
     from lidar_imu_slam_tpu.ops import voxel_map
     from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
 
+    from lidar_imu_slam_tpu.host import synthetic
+
     # packet budget sized to the 100 Hz stream: the EKF runs over the
     # STATIC packet capacity, so a 64-slot budget wastes ~54 masked
     # propagation steps per scan (~4x the EKF cost). lidar_pose_trail=2:
@@ -364,10 +366,23 @@ def _bench_lio(cfg, raws, n_scans, pre, block: int = 10):
     )
     cap = cfg.imu.max_samples_per_scan
 
+    # IMU consistent with the bench trajectory (the round-3 bench fed
+    # zero-motion packets against the 8 m/s trajectory — the EKF guess was
+    # then ~0.8 m off EVERY scan and, once max_iterations became the real
+    # refetch cap, ICP burned tens of refetch rounds recovering: LIO
+    # measured 44 scans/s on garbage IMU vs ~100+ on consistent IMU).
+    # Static init still completes on the constant-velocity lead: specific
+    # force ≈ gravity (centripetal |a| = v*yaw_rate ≈ 0.08 m/s²).
+    gt = synthetic.make_trajectory(
+        n_poses=n_scans, speed=8.0, yaw_rate=0.01, dt=0.1
+    )
+    times, gyros, accs = synthetic.make_imu_stream(gt, 0.1, imu_rate=100.0)
+
     def packet(i):
-        t = i * 0.1 + np.arange(10) * 0.01 + 1e-3
+        lo, hi = np.searchsorted(times, (i * 0.1, (i + 1) * 0.1))
+        hi = min(hi, lo + 10)
         return jax.tree.map(np.asarray, lio.pack_imu_packet(
-            t, np.zeros((10, 3)), np.tile([0.0, 0.0, 9.81], (10, 1)), cap
+            times[lo:hi] + 1e-3, gyros[lo:hi], accs[lo:hi], cap
         ))
 
     packets = [packet(i) for i in range(n_scans)]

@@ -146,6 +146,48 @@ def initialize_gravity_alignment(state: EkfState, mean_acc, cfg: EkfConfig) -> E
     return state._replace(m=m, P=P, orientation_initialized=jnp.asarray(True))
 
 
+def initialize_from_odometry(
+    state: EkfState, mean_acc, T_wi, vel_world, cfg: EkfConfig
+) -> EkfState:
+    """`initialize_gravity_alignment` for an init that completes IN MOTION,
+    seeded from the running lidar odometry (no reference counterpart — the
+    reference never runs its EKF (odom_run.cpp:135-152 has no caller) and
+    its static init assumes rest; PARITY.md #26).
+
+    The EKF world frame is pinned to the ODOMETRY world frame (the frame
+    every `lidar_pose_update` measurement arrives in): orientation and
+    position come from the current world-from-imu transform `T_wi`,
+    velocity from the finite-difference of the last two lidar poses, and
+    the gravity STATE absorbs the attitude information of `mean_acc`
+    (at near-constant velocity the mean specific force is the gravity
+    reaction): 0 = R(q)^T a_b + g  =>  g_world = -R(q)^T mean_dir * |g|.
+    Without this, an init that completes mid-flight resets the nominal
+    state to identity/zero-velocity while the vehicle is far from the
+    origin — the next scan's guess teleports and registration diverges
+    (measured: 305 ICP iterations and 10.7 m error on the 8 m/s bench
+    trajectory; 4-6 iterations with the seed).
+    """
+    R_wb = T_wi[:3, :3]  # world-from-body
+    q = lie.rot_to_quat(R_wb.T)  # state convention: world->body
+    mean_dir = mean_acc / jnp.linalg.norm(mean_acc)
+    g_world = -(R_wb @ mean_dir) * GRAVITY
+    m = state.m
+    m = m.at[ORI:ORI + 4].set(q)
+    m = m.at[POS:POS + 3].set(T_wi[:3, 3])
+    m = m.at[VEL:VEL + 3].set(vel_world)
+    m = m.at[GRAV_I:GRAV_I + 3].set(g_world)
+    noise_scale = cfg.noise_scale * cfg.noise_scale
+    P = state.P
+    ori_block = jnp.eye(4, dtype=jnp.float64).at[3, 3].set(0.0)
+    P = P.at[ORI:ORI + 4, ORI:ORI + 4].set(
+        ori_block * (cfg.init_ori_noise**2) * noise_scale
+    )
+    # the finite-difference velocity seed is good to ~the per-scan pose
+    # noise / scan period; 1 (m/s)^2 per axis is a conservative prior
+    P = P.at[VEL + jnp.arange(3), VEL + jnp.arange(3)].set(1.0 * noise_scale)
+    return state._replace(m=m, P=P, orientation_initialized=jnp.asarray(True))
+
+
 def _ou_q(cfg: EkfConfig, dt, noise_scale) -> jnp.ndarray:
     """Process noise with Ornstein-Uhlenbeck bias scaling (reference ekf.cpp:112-116, 244-263)."""
     q = jnp.zeros((Q_DIM,), jnp.float64)

@@ -97,24 +97,29 @@ def step(
         state.imu_init, full.gyro, acc_remapped, full.mask, cfg.imu
     )
     just_done = imu_init_next.done & ~state.imu_init.done
-    ekf_state = jax.lax.cond(
-        just_done,
-        lambda e: ekf_mod.initialize_gravity_alignment(
-            e, imu_init_next.mean_acc, cfg.ekf
-        ),
-        lambda e: e,
-        state.ekf,
-    )
+    ekf_state = state.ekf  # seeding happens after registration (see below)
     use_imu = state.imu_init.done  # initialized before this scan
 
     # --- branch A: IMU-driven deskew + EKF ------------------------------
     def imu_branch(ekf_state):
-        ekf_state = ekf_mod.predict_dispatch(
-            ekf_state,
-            full,
-            ekf_state.m[ekf_mod.PIL:ekf_mod.PIL + 3],
-            lie.quat_to_rot(ekf_state.m[ekf_mod.RIL:ekf_mod.RIL + 4]),
-            cfg.ekf,
+        p_il = ekf_state.m[ekf_mod.PIL:ekf_mod.PIL + 3]
+        R_il = lie.quat_to_rot(ekf_state.m[ekf_mod.RIL:ekf_mod.RIL + 4])
+        ekf_state = ekf_mod.predict_dispatch(ekf_state, full, p_il, R_il, cfg.ekf)
+        # extrapolate the nominal state to SCAN END (zero-order hold on the
+        # last sample — the reference's frame-end extrapolation,
+        # ekf.cpp:393-410, applied to the filter state): the last IMU
+        # sample lands up to one IMU period BEFORE scan end, but the ICP
+        # guess and the lidar pose measurement are both at scan end.
+        # Without this the update injects the uncovered ~10 ms of motion
+        # as a forward position residual every scan and the filter
+        # explains it by inflating velocity (measured: |v| climbing
+        # ~1 m/s per scan above truth on the 8 m/s bench).
+        nv = jnp.sum(full.mask, dtype=jnp.int32)
+        li = jnp.maximum(nv - 1, 0)
+        ekf_state = ekf_mod.predict(
+            ekf_state, scan.t_end, full.gyro[li], full.acc[li],
+            ekf_state.m[ekf_mod.GRAV_I:ekf_mod.GRAV_I + 3],
+            p_il, R_il, cfg.ekf,
         )
         mean_acc_norm = jnp.linalg.norm(state.imu_init.mean_acc)
         ekf_state, deskewed, _ = ekf_mod.motion_compensation_with_imu(
@@ -173,6 +178,29 @@ def step(
         return ekf_mod.update_and_propagate(e, cfg.ekf)
 
     ekf_state = jax.lax.cond(use_imu, ekf_update, lambda e: e, ekf_state)
+
+    # static init completed THIS scan: seed the EKF nominal state from the
+    # running odometry (pose, finite-difference velocity, gravity rotated
+    # into the odometry world frame). Seeding at identity/zero-velocity
+    # when init completes in motion teleports the next scan's guess
+    # (ekf_mod.initialize_from_odometry docstring; PARITY.md #26).
+    def seed(e):
+        T_il = lie.make_transform(
+            lie.quat_to_rot(e.m[ekf_mod.RIL:ekf_mod.RIL + 4]),
+            e.m[ekf_mod.PIL:ekf_mod.PIL + 3],
+        )
+        T_wi = lie.compose(core.pose, lie.transform_inverse(T_il))
+        dt = jnp.maximum(scan.t_end - scan.t_begin, 1e-3)
+        vel = jnp.where(
+            state.odo.num_poses > 0,
+            (core.pose[:3, 3] - state.odo.pose[:3, 3]) / dt,
+            jnp.zeros(3, jnp.float64),
+        )
+        return ekf_mod.initialize_from_odometry(
+            e, imu_init_next.mean_acc, T_wi, vel, cfg.ekf
+        )
+
+    ekf_state = jax.lax.cond(just_done, seed, lambda e: e, ekf_state)
 
     # --- map + pose bookkeeping ------------------------------------------
     odo = kiss_icp.KissState(

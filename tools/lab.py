@@ -278,10 +278,19 @@ def _lio_chain_setup(block: int = 11):
     )
     cap = cfg.imu.max_samples_per_scan
 
+    # IMU consistent with the lab trajectory (same construction as
+    # load_scans; see bench._bench_lio for why zero-motion IMU poisons
+    # the EKF guess and inflates ICP refetch rounds)
+    gt = synthetic.make_trajectory(
+        n_poses=N_SCANS, speed=8.0, yaw_rate=0.01, dt=0.1
+    )
+    times, gyros, accs = synthetic.make_imu_stream(gt, 0.1, imu_rate=100.0)
+
     def packet(i):
-        t = i * 0.1 + np.arange(10) * 0.01 + 1e-3
+        lo, hi = np.searchsorted(times, (i * 0.1, (i + 1) * 0.1))
+        hi = min(hi, lo + 10)
         return jax.tree.map(np.asarray, lio.pack_imu_packet(
-            t, np.zeros((10, 3)), np.tile([0.0, 0.0, 9.81], (10, 1)), cap
+            times[lo:hi] + 1e-3, gyros[lo:hi], accs[lo:hi], cap
         ))
 
     z = np.load(CACHE)
