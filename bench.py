@@ -129,6 +129,9 @@ def main():
             # the downsample's quantized-tau tiebreak keeps the reference's
             # earliest-point-wins semantics (fused_downsample docstring)
             sort_by_time=False,
+            # scans always carry azimuth times here; static choice keeps the
+            # rotation-model fallback out of the vmapped (batched) programs
+            time_source="per_point",
         ),
         map=cfgmod.MapConfig(
             voxel_size=1.0, max_range=80.0, capacity=1 << 17, neighborhood=8,
@@ -188,6 +191,9 @@ def main():
     # --- multi-stream (vmap), end-to-end --------------------------------------
     batched = _bench_batched(cfg, raws, n_scans, n_streams)
 
+    # --- multi-stream AND device-pipelined (vmap inside lax.scan) -------------
+    batched_chained = _bench_batched_chained(cfg, raws, n_scans, n_streams)
+
     # --- LIO (flagship lidar-inertial) mode ----------------------------------
     lio_rate = _bench_lio(cfg, raws, n_scans, pre)
 
@@ -195,7 +201,7 @@ def main():
     mc_streams = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     mc_rate, mc_tracking = _bench_monte_carlo(mc_streams)
 
-    best = max(single, batched, chained)
+    best = max(single, batched, chained, batched_chained)
     print(
         json.dumps(
             {
@@ -207,6 +213,9 @@ def main():
                     "single_stream_scans_per_sec": round(single, 2),
                     "device_pipelined_scans_per_sec": round(chained, 2),
                     "multi_stream_scans_per_sec": round(batched, 2),
+                    "multi_stream_pipelined_scans_per_sec": round(
+                        batched_chained, 2
+                    ),
                     "streams": n_streams,
                     "points_per_scan": points_per_scan,
                     "lio_scans_per_sec": round(lio_rate, 2),
@@ -294,6 +303,62 @@ def _bench_chained(cfg, raws, n_scans, block: int = 10):
         state, poses = run_block(state, b)
     np.asarray(poses)
     return len(blocks) * block / (time.perf_counter() - t0)
+
+
+def _bench_batched_chained(cfg, raws, n_scans, n_streams, block: int = 10):
+    """S streams vmapped AND device-pipelined: lax.scan whose body is a
+    vmapped preprocess + register over the stream axis — the production
+    multi-stream TPU feed shape (aggregate throughput, zero per-step host
+    dispatch). No block-boundary rebuild: batched capacity carries the
+    whole run with headroom (batch_config disables auto_rebuild — a
+    per-stream cond would lower to select under vmap)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_imu_slam_tpu import parallel
+    from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
+
+    bcfg = parallel.streams.batch_config(cfg)
+
+    # device-side stacking: upload each scan once (~2.6 MB), build the
+    # (block, S, ...) windows on device — an 8x re-upload through the axon
+    # tunnel would cost minutes (untimed, but wasteful)
+    draws = [jax.device_put(r) for r in raws]
+
+    def batch_raw(i):
+        # staggered, clamped stream offsets (same rationale as _bench_batched)
+        idx = [min(i + s, n_scans - 1) for s in range(n_streams)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *[draws[j] for j in idx])
+
+    blocks = [
+        jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[batch_raw(j) for j in range(i, i + block)]
+        )
+        for i in range(0, n_scans - (n_scans % block), block)
+    ]
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_block(states, stacked):
+        def body(st, braw):
+            sc = jax.vmap(lambda r: preprocess_scan(r, bcfg.lidar))(braw)
+            st, out = parallel.streams.batched_register_frame(st, sc, bcfg)
+            return st, out.pose
+
+        return jax.lax.scan(body, states, stacked)
+
+    states, poses = run_block(
+        parallel.streams.init_batched_state(bcfg, n_streams), blocks[0]
+    )  # compile on a throwaway state (fresh-state timing, see _bench_chained)
+    np.asarray(poses)
+    del states
+    states = parallel.streams.init_batched_state(bcfg, n_streams)
+    t0 = time.perf_counter()
+    for b in blocks:
+        states, poses = run_block(states, b)
+    np.asarray(poses)
+    return n_streams * len(blocks) * block / (time.perf_counter() - t0)
 
 
 def _bench_batched(cfg, raws, n_scans, n_streams):

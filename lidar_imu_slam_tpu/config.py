@@ -42,6 +42,16 @@ class LidarConfig:
     # ("first in sensor order" instead of "first in time"). Required True
     # for frame splitting.
     sort_by_time: bool = True
+    # where per-point relative time comes from (reference frame.cpp:128-133
+    # checks `points.back().timestamp > 0` at runtime):
+    #   "auto"           runtime lax.cond on the scan's time field — matches
+    #                    the reference, but under vmap the cond lowers to
+    #                    select and the rotation-model fallback (per-ring
+    #                    scatter-min + gathers) runs for EVERY stream even
+    #                    when all scans carry timestamps
+    #   "per_point"      trust the time field (static: no fallback traced)
+    #   "rotation_model" always use the constant-rotation model (static)
+    time_source: str = "auto"
 
     @property
     def angle_limit(self) -> float:

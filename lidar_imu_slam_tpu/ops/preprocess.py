@@ -115,15 +115,23 @@ def preprocess_scan(raw: RawScan, cfg: LidarConfig) -> Scan:
     gate = (d2 >= cfg.min_range**2) & (d2 <= cfg.max_range**2)
     mask = raw.mask & finite & gate
 
-    has_time = jnp.any(raw.mask & (raw.time > 0))
     # lax.cond: jnp.where evaluated BOTH sides — the rotation-model fallback
     # (per-ring scatter-min + gathers) ran even for sensors with per-point
-    # timestamps. Under jit (not vmap) cond executes one branch.
-    rel = jax.lax.cond(
-        has_time,
-        lambda: raw.time - raw.stamp,
-        lambda: rotation_model_rel_time(xyz, raw.ring, mask, cfg),
-    )
+    # timestamps. Under jit (not vmap) cond executes one branch; batched
+    # (vmapped) callers set cfg.time_source to resolve the choice
+    # STATICALLY (under vmap the cond lowers to select and both branches
+    # run for every stream).
+    if cfg.time_source == "per_point":
+        rel = raw.time - raw.stamp
+    elif cfg.time_source == "rotation_model":
+        rel = rotation_model_rel_time(xyz, raw.ring, mask, cfg)
+    else:
+        has_time = jnp.any(raw.mask & (raw.time > 0))
+        rel = jax.lax.cond(
+            has_time,
+            lambda: raw.time - raw.stamp,
+            lambda: rotation_model_rel_time(xyz, raw.ring, mask, cfg),
+        )
 
     # anchor at the first valid point's relative time so rel_t >= 0
     big = jnp.asarray(jnp.inf, rel.dtype)
