@@ -33,10 +33,25 @@ scans/sec/chip (the reference publishes no numbers of its own — BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: the bench compiles ~10 large programs
+# (chained blocks, vmapped streams, LIO chain) and a cold-compile pass
+# through the axon tunnel costs 15+ minutes of pure compile wait; with the
+# cache a rerun spends seconds. Keyed by platform+program, so entries from
+# a different chip type are simply missed, not misused.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lis_tpu_tpucache")
+
+
+def _mark(msg):
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr)
+
+
+_T0 = time.perf_counter()
 
 
 def _make_raws(cfg, n_scans, points_per_scan):
@@ -158,6 +173,7 @@ def main():
     )
     raws = _make_raws(cfg, n_scans, points_per_scan)
     pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
+    _mark("data ready")
 
     # --- single stream, end-to-end ------------------------------------------
     # prefetched uploads (see _Prefetcher), device preprocess + step timed
@@ -172,6 +188,7 @@ def main():
     np.asarray(out.pose)  # true host sync (block_until_ready does not
     # synchronize through the axon tunnel)
     single = (n_scans - 2) / (time.perf_counter() - t0)
+    _mark(f"single done: {single:.1f}")
 
     # --- measured per-scan latency (per-scan host sync) ----------------------
     fetch = _Prefetcher(raws)
@@ -184,22 +201,28 @@ def main():
         lat.append(time.perf_counter() - t0)
     lat = np.asarray(lat[2:]) * 1000.0  # drop warm-up/compile scans
     p50, p95 = float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
+    _mark(f"latency done: p50={p50:.1f}ms")
 
     # --- device-pipelined, end-to-end ----------------------------------------
     chained = _bench_chained(cfg, raws, n_scans)
+    _mark(f"chained done: {chained:.1f}")
 
     # --- multi-stream (vmap), end-to-end --------------------------------------
     batched = _bench_batched(cfg, raws, n_scans, n_streams)
+    _mark(f"batched done: {batched:.1f}")
 
     # --- multi-stream AND device-pipelined (vmap inside lax.scan) -------------
     batched_chained = _bench_batched_chained(cfg, raws, n_scans, n_streams)
+    _mark(f"batched_chained done: {batched_chained:.1f}")
 
     # --- LIO (flagship lidar-inertial) mode ----------------------------------
     lio_rate = _bench_lio(cfg, raws, n_scans, pre)
+    _mark(f"lio done: {lio_rate:.1f}")
 
     # --- 256-way Monte-Carlo (BASELINE config 5) at VLP-16 scale -------------
     mc_streams = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     mc_rate, mc_tracking = _bench_monte_carlo(mc_streams)
+    _mark(f"monte_carlo done: {mc_rate:.1f}")
 
     best = max(single, batched, chained, batched_chained)
     print(

@@ -295,7 +295,14 @@ def split_scan_compact(scan: Scan, num_segments: int):
 def pack_raw_scan(
     xyz, time=None, ring=None, stamp=0.0, max_points: int | None = None
 ) -> RawScan:
-    """Host-side helper: pad numpy-ish arrays into a RawScan."""
+    """Host-side helper: pad numpy-ish arrays into a RawScan.
+
+    Returns a NUMPY pytree: every consumer is a jitted function, which
+    accepts host arrays and manages the upload itself (or a caller that
+    explicitly `jax.device_put`s / stacks). Building jnp arrays here forced
+    an EAGER per-array device transfer — through the axon tunnel that is a
+    ~45 ms round trip per scan packed, and callers that wanted host copies
+    (bench, lab) then paid the download again."""
     import numpy as np
 
     xyz = np.asarray(xyz, dtype=np.float32)
@@ -314,9 +321,9 @@ def pack_raw_scan(
     mask = np.zeros((cap,), bool)
     mask[:n] = True
     return RawScan(
-        xyz=jnp.asarray(xyz_p),
-        time=jnp.asarray(pad(t, 0.0, np.float64)),
-        ring=jnp.asarray(pad(r, 0, np.int32)),
-        mask=jnp.asarray(mask),
-        stamp=jnp.asarray(float(stamp), jnp.float64),
+        xyz=xyz_p,
+        time=pad(t, 0.0, np.float64),
+        ring=pad(r, 0, np.int32),
+        mask=mask,
+        stamp=np.float64(stamp),
     )
