@@ -1,29 +1,38 @@
 """Headline benchmark: 64-beam scans/sec through the full odometry pipeline.
 
-Runs the flagship KISS-ICP pipeline (the reference's wired end-to-end path)
-on synthetic 64-beam-scale scans on whatever accelerator JAX sees (the real
-TPU under the driver). ALL timed modes are END-TO-END: the per-scan device
-preprocess (range gate, time sort, packing) runs INSIDE the timed loop —
-on one chip it serializes with the registration step, so excluding it (as
-the round-2 bench did) overstated throughput by ~45% (round-2 VERDICT
-weak #2).
+Runs the flagship KISS-ICP pipeline (the reference's wired end-to-end path:
+/root/reference/env_ws/src/limu/src/odom_run.cpp:154-185) on synthetic
+64-beam-scale scans on whatever accelerator JAX sees (the real TPU under
+the driver). ALL timed modes are END-TO-END: the per-scan device preprocess
+(range gate, time handling, packing) runs INSIDE the timed loop.
 
-Modes:
-  * single-stream: sequential host loop, preprocess + step per scan
-  * latency: same loop with a per-scan host sync -> MEASURED p50/p95 step
-    latency (includes one host<->device round-trip per scan; on the axon
-    tunnel that round-trip is ~45 ms and dominates — the throughput number
-    is the honest rate, the percentiles bound worst-case per-scan latency)
-  * device-pipelined: the whole scan chain as ONE lax.scan program whose
-    body is preprocess + register (the shape a production TPU feed takes:
-    zero per-step host dispatch)
-  * multi-stream: S independent SLAM streams vmapped into one program,
-    preprocess included — BASELINE.json's "256 concurrent real-time SLAM
-    streams" scale axis; aggregate scans/s = streams * steps / time
-  * LIO: the lidar-inertial step (EKF predict + IMU deskew + ICP)
-  * Monte-Carlo: S perturbed ensemble streams at VLP-16 scale
+Modes, in order of value-per-compile-second (the driver runs this under a
+hard timeout with a possibly COLD compilation cache, so the headline JSON
+line is RE-PRINTED after every completed mode — the driver parses the last
+line, and each reprint upgrades the result; a timeout mid-run still lands
+everything finished so far):
 
-Prints ONE JSON line with the best end-to-end aggregate as the headline:
+  1. device-pipelined: the whole scan chain as ONE lax.scan program whose
+     body is preprocess + register (the shape a production TPU feed takes:
+     zero per-step host dispatch). THE headline mode; also yields the
+     trajectory for `ate_m` and a device-only per-scan latency (per-block
+     wall minus the measured tunnel round-trip, divided by block size).
+  2. LIO: the lidar-inertial step (EKF predict + IMU deskew + ICP),
+     device-pipelined the same way; also yields `lio_ate_m`.
+  3. multi-stream pipelined: S independent SLAM streams vmapped inside the
+     lax.scan body — aggregate scans/s = streams * steps / time.
+  4. Monte-Carlo: S perturbed ensemble streams at VLP-16 scale
+     (BASELINE config 5), >=20 steps, per-stream tracking asserted.
+  5. classic-f64 anchor: the same drive through the classic f64 XLA path
+     (gn_backend="xla") for `ate_vs_f64_ratio` — the fast float-float
+     carrier must hold the classic path's accuracy.
+  6. single-stream + latency: sequential host loop with per-scan sync.
+     TUNNEL-BOUND on this box (one host<->device round-trip per scan is
+     ~45 ms through the axon tunnel) — reported for completeness, labeled,
+     never the headline.
+
+Prints ONE JSON line per completed mode (same schema, monotonically more
+`extra` keys; the LAST line is the result):
 
   {"metric": "scans_per_sec_64beam_e2e", "value": N, "unit": "scans/s",
    "vs_baseline": N / 1000.0, "extra": {...}}
@@ -36,33 +45,85 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
-# persistent XLA compilation cache: the bench compiles ~10 large programs
-# (chained blocks, vmapped streams, LIO chain) and a cold-compile pass
-# through the axon tunnel costs 15+ minutes of pure compile wait; with the
-# cache a rerun spends seconds. Keyed by platform+program, so entries from
-# a different chip type are simply missed, not misused.
+# persistent XLA compilation cache: the bench compiles ~6 large programs
+# and a cold-compile pass through the axon tunnel costs many minutes; with
+# the cache a rerun spends seconds. Entries are keyed by platform+program,
+# BUT stale entries written by a different machine have produced SIGILL
+# warnings here (CLAUDE.md) — the round-start `rm -rf` of this directory is
+# load-bearing, and the incremental JSON emission above is what actually
+# protects the driver run from a cold cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lis_tpu_tpucache")
 
 
 def _mark(msg):
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr)
+    sys.stderr.flush()
 
 
 _T0 = time.perf_counter()
+_EXTRA = {}
+_CANDIDATES = {}  # headline-eligible 64-beam e2e rates
 
 
-def _make_raws(cfg, n_scans, points_per_scan):
+def _emit(**updates):
+    """Fold `updates` into the extras and (re)print the headline line.
+
+    Keys in _CANDIDATES (64-beam end-to-end modes) compete for the
+    headline; tunnel-bound and non-64-beam modes report via extras only.
+    """
+    _EXTRA.update(updates)
+    best = max(_CANDIDATES.values()) if _CANDIDATES else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "scans_per_sec_64beam_e2e",
+                "value": round(best, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(best / 1000.0, 4),
+                "extra": _EXTRA,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _ate(poses, gt):
+    """Translation RMS ATE of world-frame poses vs the ground-truth
+    trajectory expressed relative to its first pose (scan 0 registers
+    against an empty map at identity, so the odometry world frame IS
+    gt[0])."""
+    poses = np.asarray(poses)
+    gt_rel = np.linalg.inv(gt[0])[None] @ np.asarray(gt[: poses.shape[0]])
+    err = np.linalg.norm(poses[:, :3, 3] - gt_rel[:, :3, 3], axis=-1)
+    return float(np.sqrt(np.mean(err**2)))
+
+
+def _tunnel_rtt(n: int = 10):
+    """Median host<->device round-trip for a tiny sync (the axon tunnel
+    latency floor; subtracted from per-block walls to get device-only
+    per-scan latency)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(jnp.zeros((1,), jnp.float32))
+    np.asarray(x)  # warm
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(x)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _make_raws(n_scans, points_per_scan):
     """Host-resident packed RawScans (numpy pytrees): upload + device
     preprocess happen inside the timed loops. Rendered scans are cached on
     disk — the synthetic render costs minutes on this 1-core host and is
     not part of anything being measured."""
-    import os
-
-    import jax
-
     from lidar_imu_slam_tpu.host import synthetic
     from lidar_imu_slam_tpu.ops.preprocess import pack_raw_scan
 
@@ -84,25 +145,21 @@ def _make_raws(cfg, n_scans, points_per_scan):
             for i, pose in enumerate(gt)
         ]
         np.savez(cache, **{f"xyz{i}": c for i, c in enumerate(clouds)})
-    raws = []
-    for i, pts in enumerate(clouds):
-        raw = pack_raw_scan(
+    return [
+        pack_raw_scan(
             pts,
             time=synthetic.azimuth_times(pts, i * 0.1),
             stamp=i * 0.1,
             max_points=points_per_scan,
         )
-        raws.append(jax.tree.map(np.asarray, raw))
-    return raws
+        for i, pts in enumerate(clouds)
+    ]
 
 
 class _Prefetcher:
     """Double-buffered host->device upload: device_put scan i+depth while
-    the device works on scan i. This is the production feed shape (a real
-    pipeline DMAs the next packet during the current step) — WITHOUT it,
-    each ~2 MB scan upload serializes with the step through the axon
-    tunnel and the 'eager loop' benchmark measures tunnel bandwidth, not
-    the pipeline."""
+    the device works on scan i (the production feed shape — without it the
+    eager loop measures tunnel bandwidth, not the pipeline)."""
 
     def __init__(self, raws, depth: int = 3):
         import jax
@@ -121,22 +178,10 @@ class _Prefetcher:
         return self._buf.pop(i) if i in self._buf else jax.device_put(self._raws[i])
 
 
-def main():
-    import jax
-
+def _make_cfg(points_per_scan, gn_backend="pallas"):
     from lidar_imu_slam_tpu import config as cfgmod
-    from lidar_imu_slam_tpu.models import kiss_icp
-    from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
 
-    # 60 scans: the chained/device-pipelined modes pay a FIXED ~90 ms of
-    # host dispatch + final sync through the axon tunnel per measurement;
-    # at 20 scans that fixed cost was ~4.5 ms/scan of pure harness
-    # overhead. Render is ~0.1 s/scan (cached in /tmp after first run).
-    n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    n_streams = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    points_per_scan = 131072  # HDL-64E scale
-
-    cfg = cfgmod.PipelineConfig(
+    return cfgmod.PipelineConfig(
         lidar=cfgmod.LidarConfig(
             num_scan_lines=64, max_points=points_per_scan, min_range=2.5,
             max_range=80.0,
@@ -151,15 +196,13 @@ def main():
         map=cfgmod.MapConfig(
             voxel_size=1.0, max_range=80.0, capacity=1 << 17, neighborhood=8,
             # perf mode: packed i32 slab only — the fused Pallas ICP reads
-            # it exclusively; export decodes at ~3 mm quantization
-            store_points=False,
+            # it exclusively; export decodes at ~3 mm quantization. The
+            # classic XLA backend reads f32 stored points instead.
+            store_points=(gn_backend == "xla"),
             # head-compacted insert (voxel_map._insert_grouped_compact):
             # per-voxel access ops run at 20480 head rows instead of 32768
-            # point rows. This workload peaks at ~16k distinct insert
-            # voxels/scan (64-beam urban, 1 m voxels) — 20480 leaves 25%
-            # margin and the chained run's per-scan ICP iteration counts
-            # are bit-identical to the uncapped path (round-4 A/B);
-            # VoxelMap.drops stays 0
+            # point rows; this workload peaks at ~16k distinct insert
+            # voxels/scan, drops stay 0 (round-4 A/B)
             max_insert_voxels=20480,
         ),
         # KITTI-realistic budgets: KISS-ICP's 1.5 m source downsample yields
@@ -168,98 +211,134 @@ def main():
         # instead of 5 GN iterations/scan
         icp=cfgmod.IcpConfig(
             max_map_points=32768, max_source_points=4096,
-            estimation_threshold=5e-4, gn_backend="pallas",
+            estimation_threshold=5e-4, gn_backend=gn_backend,
         ),
     )
-    raws = _make_raws(cfg, n_scans, points_per_scan)
-    pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
+
+
+def main():
+    from lidar_imu_slam_tpu.host import synthetic
+
+    # 60 scans: the chained/device-pipelined modes pay a FIXED ~90 ms of
+    # host dispatch + final sync through the axon tunnel per measurement;
+    # at 20 scans that fixed cost was ~4.5 ms/scan of pure harness
+    # overhead. Render is ~0.1 s/scan (cached in /tmp after first run).
+    n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    n_streams = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    mc_streams = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    points_per_scan = 131072  # HDL-64E scale
+    skip = set(os.environ.get("LIS_BENCH_SKIP", "").split(","))
+
+    cfg = _make_cfg(points_per_scan)
+    raws = _make_raws(n_scans, points_per_scan)
+    gt = synthetic.make_trajectory(n_poses=n_scans, speed=8.0, yaw_rate=0.01, dt=0.1)
     _mark("data ready")
 
-    # --- single stream, end-to-end ------------------------------------------
-    # prefetched uploads (see _Prefetcher), device preprocess + step timed
-    fetch = _Prefetcher(raws)
-    state = kiss_icp.init_state(cfg)
-    for i in range(2):  # warmup: compile + map fill-in
-        state, out = kiss_icp.register_frame_step(state, pre(fetch(i)), cfg)
-    np.asarray(out.pose)
-    t0 = time.perf_counter()
-    for i in range(2, n_scans):
-        state, out = kiss_icp.register_frame_step(state, pre(fetch(i)), cfg)
-    np.asarray(out.pose)  # true host sync (block_until_ready does not
-    # synchronize through the axon tunnel)
-    single = (n_scans - 2) / (time.perf_counter() - t0)
-    _mark(f"single done: {single:.1f}")
+    def run(name, fn, *a):
+        if name in skip:
+            return
+        try:
+            fn(*a)
+            _mark(f"{name} done")
+        except Exception:
+            _mark(f"{name} FAILED\n{traceback.format_exc()}")
 
-    # --- measured per-scan latency (per-scan host sync) ----------------------
-    fetch = _Prefetcher(raws)
-    lat_state = kiss_icp.init_state(cfg)
-    lat = []
-    for i in range(n_scans):
-        t0 = time.perf_counter()
-        lat_state, out = kiss_icp.register_frame_step(lat_state, pre(fetch(i)), cfg)
-        np.asarray(out.pose)
-        lat.append(time.perf_counter() - t0)
-    lat = np.asarray(lat[2:]) * 1000.0  # drop warm-up/compile scans
-    p50, p95 = float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
-    _mark(f"latency done: p50={p50:.1f}ms")
-
-    # --- device-pipelined, end-to-end ----------------------------------------
-    chained = _bench_chained(cfg, raws, n_scans)
-    _mark(f"chained done: {chained:.1f}")
-
-    # --- multi-stream (vmap), end-to-end --------------------------------------
-    batched = _bench_batched(cfg, raws, n_scans, n_streams)
-    _mark(f"batched done: {batched:.1f}")
-
-    # --- multi-stream AND device-pipelined (vmap inside lax.scan) -------------
-    batched_chained = _bench_batched_chained(cfg, raws, n_scans, n_streams)
-    _mark(f"batched_chained done: {batched_chained:.1f}")
-
-    # --- LIO (flagship lidar-inertial) mode ----------------------------------
-    lio_rate = _bench_lio(cfg, raws, n_scans, pre)
-    _mark(f"lio done: {lio_rate:.1f}")
-
-    # --- 256-way Monte-Carlo (BASELINE config 5) at VLP-16 scale -------------
-    mc_streams = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-    mc_rate, mc_tracking = _bench_monte_carlo(mc_streams)
-    _mark(f"monte_carlo done: {mc_rate:.1f}")
-
-    best = max(single, batched, chained, batched_chained)
-    print(
-        json.dumps(
-            {
-                "metric": "scans_per_sec_64beam_e2e",
-                "value": round(best, 2),
-                "unit": "scans/s",
-                "vs_baseline": round(best / 1000.0, 4),
-                "extra": {
-                    "single_stream_scans_per_sec": round(single, 2),
-                    "device_pipelined_scans_per_sec": round(chained, 2),
-                    "multi_stream_scans_per_sec": round(batched, 2),
-                    "multi_stream_pipelined_scans_per_sec": round(
-                        batched_chained, 2
-                    ),
-                    "streams": n_streams,
-                    "points_per_scan": points_per_scan,
-                    "lio_scans_per_sec": round(lio_rate, 2),
-                    "monte_carlo_aggregate_scans_per_sec": round(mc_rate, 2),
-                    "monte_carlo_streams": mc_streams,
-                    # fraction of ensemble streams whose final pose is
-                    # within 0.5 m of ground truth — the 256-stream
-                    # tracking check at bench scale (round-2 VERDICT
-                    # weak #9); each stream carries iid point noise, so
-                    # every one must still track independently
-                    "monte_carlo_tracking_frac": round(mc_tracking, 4),
-                    "p50_step_ms_synced": round(p50, 2),
-                    "p95_step_ms_synced": round(p95, 2),
-                    "gn_backend": cfg.icp.gn_backend,
-                },
-            }
+    # --- 1. device-pipelined (headline) + ATE + device latency ------------
+    def mode_chained():
+        rate, poses, block_ms = _bench_chained(cfg, raws, n_scans)
+        _CANDIDATES["chained"] = rate
+        rtt_ms = _tunnel_rtt() * 1000.0
+        dev_ms = [max(b - rtt_ms, 0.0) for b in block_ms]
+        _emit(
+            device_pipelined_scans_per_sec=round(rate, 2),
+            ate_m=round(_ate(poses, gt), 4),
+            # device-only per-scan latency: per-block wall minus the
+            # measured tunnel round-trip, over the block size (VERDICT r4
+            # weak #6 — the synced p50 below conflates tunnel and compute)
+            device_scan_ms_p50=round(float(np.percentile(dev_ms, 50)) / _BLOCK, 3),
+            device_scan_ms_p95=round(float(np.percentile(dev_ms, 95)) / _BLOCK, 3),
+            tunnel_rtt_ms=round(rtt_ms, 2),
+            points_per_scan=points_per_scan,
+            gn_backend=cfg.icp.gn_backend,
         )
-    )
+
+    run("chained", mode_chained)
+
+    # --- 2. LIO (flagship lidar-inertial), device-pipelined ----------------
+    def mode_lio():
+        rate, poses = _bench_lio(cfg, raws, n_scans)
+        _emit(
+            lio_scans_per_sec=round(rate, 2),
+            lio_ate_m=round(_ate(poses, gt), 4),
+        )
+
+    run("lio", mode_lio)
+
+    # --- 3. multi-stream AND device-pipelined (vmap inside lax.scan) ------
+    def mode_batched_chained():
+        rate = _bench_batched_chained(cfg, raws, n_scans, n_streams)
+        _CANDIDATES["batched_chained"] = rate
+        _emit(
+            multi_stream_pipelined_scans_per_sec=round(rate, 2),
+            streams=n_streams,
+        )
+
+    run("batched_chained", mode_batched_chained)
+
+    # --- 4. 256-way Monte-Carlo (BASELINE config 5) at VLP-16 scale -------
+    def mode_mc():
+        mc_rate, mc_tracking, mc_steps = _bench_monte_carlo(mc_streams)
+        _emit(
+            monte_carlo_aggregate_scans_per_sec=round(mc_rate, 2),
+            monte_carlo_streams=mc_streams,
+            monte_carlo_steps=mc_steps,
+            # fraction of ensemble streams whose final pose is within
+            # 0.5 m of ground truth — every perturbed stream must track
+            # independently
+            monte_carlo_tracking_frac=round(mc_tracking, 4),
+        )
+
+    run("monte_carlo", mode_mc)
+
+    # --- 5. classic-f64 anchor: same drive, xla backend, for the ATE ratio -
+    def mode_f64():
+        cfg64 = _make_cfg(points_per_scan, gn_backend="xla")
+        rate, poses, _ = _bench_chained(cfg64, raws, n_scans)
+        ate64 = _ate(poses, gt)
+        ate_fast = _EXTRA.get("ate_m")
+        _emit(
+            classic_f64_scans_per_sec=round(rate, 2),
+            ate_f64_m=round(ate64, 4),
+            # BASELINE parity bound: the fast float-float path must hold
+            # the classic f64 path's accuracy (ratio ~1; both are vs the
+            # same synthetic ground truth)
+            ate_vs_f64_ratio=(
+                round(ate_fast / max(ate64, 1e-9), 4)
+                if ate_fast is not None
+                else None
+            ),
+        )
+
+    run("f64_anchor", mode_f64)
+
+    # --- 6. single-stream + latency (TUNNEL-BOUND, labeled) ----------------
+    def mode_single():
+        single, p50, p95 = _bench_single(cfg, raws, n_scans)
+        _emit(
+            # one blocking host round-trip per scan: ~45 ms of axon tunnel
+            # latency dominates — this measures the tunnel, not the chip
+            single_stream_scans_per_sec_tunnel_bound=round(single, 2),
+            p50_step_ms_synced=round(p50, 2),
+            p95_step_ms_synced=round(p95, 2),
+        )
+
+    run("single", mode_single)
 
 
-def _bench_chained(cfg, raws, n_scans, block: int = 10):
+_BLOCK = 10
+
+
+def _bench_chained(cfg, raws, n_scans, block: int = _BLOCK):
     """Steps as lax.scan blocks over device-stacked RAW scans: the body is
     preprocess + register (the sequential pose dependency is preserved;
     per-step host dispatch AND preprocess serialization are removed). The
@@ -271,7 +350,11 @@ def _bench_chained(cfg, raws, n_scans, block: int = 10):
     (measured ~2.5 ms/scan at 64-beam scale on a v5e); the same cond once
     per `block` scans in the donated program costs ~0.1 ms. The block
     predicate triggers a quarter-capacity early so `block` scans of
-    allocations always fit before the next check."""
+    allocations always fit before the next check.
+
+    Returns (scans/s, all poses (n,4,4), per-block synced walls in ms —
+    measured in a short separate pass so the throughput timing keeps its
+    single final sync)."""
     import dataclasses
     import functools
 
@@ -311,24 +394,38 @@ def _bench_chained(cfg, raws, n_scans, block: int = 10):
         return state._replace(map=new_map), poses
 
     # warm the compile on a throwaway state, then time a FRESH state over
-    # the real trajectory. (Re-running the chain on the WARM state — the
-    # round-2 bench shape — replays scan 0 against the scan-19 pose: every
-    # ICP starts ~15 m off the guess, runs its full refetch budget, and the
-    # 'steady state' number measures a teleport workload, ~1.7x slower than
-    # honest odometry. Fresh-state timing includes map fill-in, which is
-    # what real odometry does.)
+    # the real trajectory. (Re-running the chain on the WARM state replays
+    # scan 0 against the scan-(n-1) pose: every ICP starts ~15 m off the
+    # guess and the 'steady state' number measures a teleport workload.
+    # Fresh-state timing includes map fill-in, which is what real odometry
+    # does.)
     state, poses = run_block(kiss_icp.init_state(cfg), blocks[0])  # compile
     np.asarray(poses)
     del state
+    _mark("chained compiled")
     state = kiss_icp.init_state(cfg)
+    all_poses = []
     t0 = time.perf_counter()
     for b in blocks:
         state, poses = run_block(state, b)
-    np.asarray(poses)
-    return len(blocks) * block / (time.perf_counter() - t0)
+        all_poses.append(poses)
+    all_poses = np.concatenate([np.asarray(p) for p in all_poses])  # host sync
+    rate = len(blocks) * block / (time.perf_counter() - t0)
+
+    # short per-block-synced pass for device-only latency (fresh state;
+    # reuses the compiled program)
+    state = kiss_icp.init_state(cfg)
+    block_ms = []
+    for b in blocks[:6]:
+        t0 = time.perf_counter()
+        state, poses = run_block(state, b)
+        np.asarray(poses)
+        block_ms.append((time.perf_counter() - t0) * 1000.0)
+    del state
+    return rate, all_poses, block_ms[1:]  # drop first (map near-empty)
 
 
-def _bench_batched_chained(cfg, raws, n_scans, n_streams, block: int = 10):
+def _bench_batched_chained(cfg, raws, n_scans, n_streams, block: int = _BLOCK):
     """S streams vmapped AND device-pipelined: lax.scan whose body is a
     vmapped preprocess + register over the stream axis — the production
     multi-stream TPU feed shape (aggregate throughput, zero per-step host
@@ -351,7 +448,7 @@ def _bench_batched_chained(cfg, raws, n_scans, n_streams, block: int = 10):
     draws = [jax.device_put(r) for r in raws]
 
     def batch_raw(i):
-        # staggered, clamped stream offsets (same rationale as _bench_batched)
+        # staggered, clamped stream offsets (same rationale as the MC mode)
         idx = [min(i + s, n_scans - 1) for s in range(n_streams)]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *[draws[j] for j in idx])
 
@@ -376,6 +473,7 @@ def _bench_batched_chained(cfg, raws, n_scans, n_streams, block: int = 10):
     )  # compile on a throwaway state (fresh-state timing, see _bench_chained)
     np.asarray(poses)
     del states
+    _mark("batched_chained compiled")
     states = parallel.streams.init_batched_state(bcfg, n_streams)
     t0 = time.perf_counter()
     for b in blocks:
@@ -384,61 +482,58 @@ def _bench_batched_chained(cfg, raws, n_scans, n_streams, block: int = 10):
     return n_streams * len(blocks) * block / (time.perf_counter() - t0)
 
 
-def _bench_batched(cfg, raws, n_scans, n_streams):
-    """S independent streams vmapped; preprocess runs vmapped inside the
-    timed loop (end-to-end like the single-stream mode)."""
+def _bench_single(cfg, raws, n_scans):
+    """Sequential host loop, one program: preprocess + step per scan with
+    prefetched uploads. The first pass times throughput (single final
+    sync); the second pass adds a per-scan host sync for measured p50/p95
+    step latency. Both are tunnel-bound on this box."""
     import jax
-    import jax.numpy as jnp
 
-    from lidar_imu_slam_tpu import parallel
+    from lidar_imu_slam_tpu.models import kiss_icp
     from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
 
-    bcfg = parallel.streams.batch_config(cfg)
-    states = parallel.streams.init_batched_state(bcfg, n_streams)
-    bpre = jax.jit(jax.vmap(lambda raw: preprocess_scan(raw, cfg.lidar)))
-
-    def batch_raw(i):
-        # distinct scans per stream (staggered, clamped): wrapping would
-        # teleport a stream mid-trajectory and drive its ICP to the
-        # iteration cap, stalling the whole batch (fixed-unroll runs the
-        # static schedule regardless, but correspondence quality matters)
-        idx = [min(i + s, n_scans - 1) for s in range(n_streams)]
-        return jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[raws[j] for j in idx]
-        )
-
-    braws = [batch_raw(i) for i in range(n_scans)]
-    for i in range(2):
-        states, outs = parallel.streams.batched_register_frame_step(
-            states, bpre(braws[i]), bcfg
-        )
-    np.asarray(outs.pose)
+    pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
+    fetch = _Prefetcher(raws)
+    state = kiss_icp.init_state(cfg)
+    for i in range(2):  # warmup: compile + map fill-in
+        state, out = kiss_icp.register_frame_step(state, pre(fetch(i)), cfg)
+    np.asarray(out.pose)
     t0 = time.perf_counter()
     for i in range(2, n_scans):
-        states, outs = parallel.streams.batched_register_frame_step(
-            states, bpre(braws[i]), bcfg
-        )
-    np.asarray(outs.pose)  # true host sync
-    return n_streams * (n_scans - 2) / (time.perf_counter() - t0)
+        state, out = kiss_icp.register_frame_step(state, pre(fetch(i)), cfg)
+    np.asarray(out.pose)  # true host sync (block_until_ready does not
+    # synchronize through the axon tunnel)
+    single = (n_scans - 2) / (time.perf_counter() - t0)
+
+    fetch = _Prefetcher(raws)
+    lat_state = kiss_icp.init_state(cfg)
+    lat = []
+    for i in range(n_scans):
+        t0 = time.perf_counter()
+        lat_state, out = kiss_icp.register_frame_step(lat_state, pre(fetch(i)), cfg)
+        np.asarray(out.pose)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat[2:]) * 1000.0  # drop warm-up/compile scans
+    return single, float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
 
 
-def _bench_lio(cfg, raws, n_scans, pre, block: int = 10):
+def _bench_lio(cfg, raws, n_scans, block: int = _BLOCK):
     """The flagship LiDAR-inertial pipeline at the same 64-beam scale,
     device-pipelined like the chained lidar-only mode: synthetic 100 Hz IMU
     packets consistent with the bench trajectory; preprocess + EKF +
     registration inside the scan body, map maintenance at block boundaries
-    (same carry-aliasing rationale as _bench_chained)."""
+    (same carry-aliasing rationale as _bench_chained). Returns
+    (scans/s, poses)."""
     import dataclasses
     import functools
 
     import jax
     import jax.numpy as jnp
 
+    from lidar_imu_slam_tpu.host import synthetic
     from lidar_imu_slam_tpu.models import lio
     from lidar_imu_slam_tpu.ops import voxel_map
     from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
-
-    from lidar_imu_slam_tpu.host import synthetic
 
     # packet budget sized to the 100 Hz stream: the EKF runs over the
     # STATIC packet capacity, so a 64-slot budget wastes ~54 masked
@@ -454,13 +549,11 @@ def _bench_lio(cfg, raws, n_scans, pre, block: int = 10):
     )
     cap = cfg.imu.max_samples_per_scan
 
-    # IMU consistent with the bench trajectory (the round-3 bench fed
-    # zero-motion packets against the 8 m/s trajectory — the EKF guess was
-    # then ~0.8 m off EVERY scan and, once max_iterations became the real
-    # refetch cap, ICP burned tens of refetch rounds recovering: LIO
-    # measured 44 scans/s on garbage IMU vs ~100+ on consistent IMU).
+    # IMU consistent with the bench trajectory (garbage zero-motion packets
+    # against the 8 m/s trajectory made the EKF guess ~0.8 m off every scan
+    # and ICP burned its refetch budget recovering: 44 vs ~100+ scans/s).
     # Static init still completes on the constant-velocity lead: specific
-    # force ≈ gravity (centripetal |a| = v*yaw_rate ≈ 0.08 m/s²).
+    # force ~ gravity (centripetal |a| = v*yaw_rate ~ 0.08 m/s^2).
     gt = synthetic.make_trajectory(
         n_poses=n_scans, speed=8.0, yaw_rate=0.01, dt=0.1
     )
@@ -469,11 +562,11 @@ def _bench_lio(cfg, raws, n_scans, pre, block: int = 10):
     def packet(i):
         lo, hi = np.searchsorted(times, (i * 0.1, (i + 1) * 0.1))
         hi = min(hi, lo + 10)
-        return jax.tree.map(np.asarray, lio.pack_imu_packet(
+        return lio.pack_imu_packet(
             times[lo:hi] + 1e-3, gyros[lo:hi], accs[lo:hi], cap
-        ))
+        )
 
-    packets = [packet(i) for i in range(n_scans)]
+    packets = [jax.tree.map(np.asarray, packet(i)) for i in range(n_scans)]
     blocks = [
         jax.device_put(jax.tree.map(
             lambda *xs: jnp.stack(xs),
@@ -504,22 +597,26 @@ def _bench_lio(cfg, raws, n_scans, pre, block: int = 10):
     state, poses = run_block(lio.init_state(cfg), blocks[0])  # compile
     np.asarray(poses)
     del state
+    _mark("lio compiled")
     state = lio.init_state(cfg)
+    all_poses = []
     t0 = time.perf_counter()
     for b in blocks:
         state, poses = run_block(state, b)
-    np.asarray(poses)
-    return len(blocks) * block / (time.perf_counter() - t0)
+        all_poses.append(poses)
+    all_poses = np.concatenate([np.asarray(p) for p in all_poses])
+    rate = len(blocks) * block / (time.perf_counter() - t0)
+    return rate, all_poses
 
 
-def _bench_monte_carlo(n_streams, n_steps: int = 8):
+def _bench_monte_carlo(n_streams, n_steps: int = 20):
     """BASELINE config 5: S concurrent perturbed SLAM streams at VLP-16
     scale (16k pts/scan), fixed-unroll ICP, one vmapped program. The
     ensemble shares one preprocessed scan + iid perturbations (that IS the
     workload — there is no per-stream preprocess to fold in); the shared
-    preprocess runs inside the timed loop."""
+    preprocess runs inside the timed loop. Returns (aggregate scans/s,
+    tracking fraction, n_steps)."""
     import jax
-    import jax.numpy as jnp
 
     from lidar_imu_slam_tpu import config as cfgmod
     from lidar_imu_slam_tpu import parallel
@@ -536,16 +633,16 @@ def _bench_monte_carlo(n_streams, n_steps: int = 8):
         # iteration; the kernel keeps candidates in VMEM per stream.
         # At 256 streams EVERY cost is gather/scatter access-count bound
         # (~7-13 ns per random access, measured), so the caps ARE the
-        # throughput: the sweep on this workload measured
+        # throughput: the round-3 sweep on this workload measured
         #   map_rows/src/nn  8192/2048/4: 667 agg, max tracking err 0.042 m
         #                    4096/1024/4: 1209, 0.033
         #                    2048/ 512/2: 2260, 0.114   <- chosen
         #                    1024/ 256/4: 3177, 0.361 (too close to the
         #                                              0.5 m tracking bound)
-        # tracking_frac below asserts every stream still tracks at the
-        # chosen point. grid_z=32: the dense index is per-stream state
-        # (256 replicas); the default 128-deep z grid would cost
-        # 8 MB/stream for a +-12 m world.
+        # tracking_frac asserts every stream still tracks at the chosen
+        # point. grid_z=32: the dense index is per-stream state (256
+        # replicas); the default 128-deep z grid would cost 8 MB/stream
+        # for a +-12 m world.
         map=cfgmod.MapConfig(
             voxel_size=1.0, max_range=40.0, capacity=1 << 13, neighborhood=8,
             nn_points=2, grid_z=32, store_points=False,
@@ -561,9 +658,7 @@ def _bench_monte_carlo(n_streams, n_steps: int = 8):
     raws = []
     for i, pose in enumerate(gt):
         pts = synthetic.render_scan(world, pose, 16384, 1.0, 40.0, noise=0.02, seed=i)
-        raws.append(jax.tree.map(
-            np.asarray, pack_raw_scan(pts, stamp=i * 0.1, max_points=16384)
-        ))
+        raws.append(pack_raw_scan(pts, stamp=i * 0.1, max_points=16384))
 
     states = parallel.streams.init_batched_state(bcfg, n_streams)
     key = jax.random.PRNGKey(0)
@@ -579,6 +674,7 @@ def _bench_monte_carlo(n_streams, n_steps: int = 8):
             states, ensemble(i), bcfg
         )
     np.asarray(outs.pose)
+    _mark("monte_carlo compiled")
     t0 = time.perf_counter()
     for i in range(2, n_steps + 2):
         states, outs = parallel.streams.batched_register_frame_step(
@@ -586,13 +682,13 @@ def _bench_monte_carlo(n_streams, n_steps: int = 8):
         )
     final_poses = np.asarray(outs.pose)  # (S, 4, 4) — also the host sync
     rate = n_streams * n_steps / (time.perf_counter() - t0)
-    # per-stream tracking at bench scale (round-2 VERDICT weak #9): every
-    # perturbed stream must independently stay within 0.5 m of the
-    # ground-truth pose of its last scan
+    # per-stream tracking at bench scale: every perturbed stream must
+    # independently stay within 0.5 m of the ground-truth pose of its
+    # last scan
     gt_rel = np.linalg.inv(gt[0]) @ gt[n_steps + 1]
     err = np.linalg.norm(final_poses[:, :3, 3] - gt_rel[:3, 3], axis=-1)
     tracking = float(np.mean(err < 0.5))
-    return rate, tracking
+    return rate, tracking, n_steps
 
 
 if __name__ == "__main__":

@@ -190,10 +190,10 @@ def _chain_setup(block: int = 11):
     raws = []
     for i in range(N_SCANS):
         xyz, st = z[f"xyz{i}"], float(z[f"stamp{i}"])
-        raws.append(jax.tree.map(np.asarray, pack_raw_scan(
+        raws.append(pack_raw_scan(
             xyz, time=synthetic.azimuth_times(xyz, st), stamp=st,
             max_points=PTS,
-        )))
+        ))
     blocks = [
         jax.device_put(jax.tree.map(lambda *xs: jnp.stack(xs),
                                     *raws[i : i + block]))
@@ -297,10 +297,10 @@ def _lio_chain_setup(block: int = 11):
     raws = []
     for i in range(N_SCANS):
         xyz, st = z[f"xyz{i}"], float(z[f"stamp{i}"])
-        raws.append(jax.tree.map(np.asarray, pack_raw_scan(
+        raws.append(pack_raw_scan(
             xyz, time=synthetic.azimuth_times(xyz, st), stamp=st,
             max_points=PTS,
-        )))
+        ))
     packets = [packet(i) for i in range(N_SCANS)]
     blocks = [
         jax.device_put(jax.tree.map(
