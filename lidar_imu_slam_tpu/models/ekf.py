@@ -147,7 +147,8 @@ def initialize_gravity_alignment(state: EkfState, mean_acc, cfg: EkfConfig) -> E
 
 
 def initialize_from_odometry(
-    state: EkfState, mean_acc, T_wi, vel_world, cfg: EkfConfig
+    state: EkfState, mean_acc, T_wi, vel_world, cfg: EkfConfig,
+    accel_world=None,
 ) -> EkfState:
     """`initialize_gravity_alignment` for an init that completes IN MOTION,
     seeded from the running lidar odometry (no reference counterpart — the
@@ -171,6 +172,22 @@ def initialize_from_odometry(
     q = lie.rot_to_quat(R_wb.T)  # state convention: world->body
     mean_dir = mean_acc / jnp.linalg.norm(mean_acc)
     g_world = -(R_wb @ mean_dir) * GRAVITY
+    if accel_world is not None:
+        # the init window may cover real vehicle acceleration (a launch
+        # ramp): the specific-force model f_b = R_bw (a_w - g_w) gives
+        # g_w = a_w - R_wb f_b. `accel_world` is the odometry's (noisy,
+        # ~sqrt(6)*sigma_icp/dt^2) world-acceleration estimate; the
+        # corrected direction is projected to the known |g| and falls back
+        # to the rest-assumption seed when the correction degenerates
+        # (e.g. free-fall-like |g_est| << g). The remaining error is
+        # estimated ONLINE through the d(vel)/d(grav) coupling + the
+        # honest gravity covariance below (PARITY.md #27).
+        g_est = accel_world - R_wb @ mean_acc
+        g_norm = jnp.linalg.norm(g_est)
+        g_world = jnp.where(
+            g_norm > 0.5 * GRAVITY, g_est / jnp.maximum(g_norm, 1e-9) * GRAVITY,
+            g_world,
+        )
     m = state.m
     m = m.at[ORI:ORI + 4].set(q)
     m = m.at[POS:POS + 3].set(T_wi[:3, 3])
@@ -185,6 +202,14 @@ def initialize_from_odometry(
     # the finite-difference velocity seed is good to ~the per-scan pose
     # noise / scan period; 1 (m/s)^2 per axis is a conservative prior
     P = P.at[VEL + jnp.arange(3), VEL + jnp.arange(3)].set(1.0 * noise_scale)
+    # gravity is NOT well-determined by an in-motion init (the mean
+    # specific force conflates gravity with vehicle acceleration): replace
+    # the tiny time-noise quirk variance (_process_covariance) with an
+    # honest prior so the d(vel)/d(grav)-coupled filter can estimate it
+    # online. (3 m/s^2)^2 covers a hard launch ramp.
+    P = P.at[GRAV_I + jnp.arange(3), GRAV_I + jnp.arange(3)].set(
+        9.0 * noise_scale
+    )
     return state._replace(m=m, P=P, orientation_initialized=jnp.asarray(True))
 
 
@@ -248,6 +273,18 @@ def _state_jacobians(T_ab, prev_quat, A, R, dR, xa, dt):
     Fx = Fx.at[RIL:RIL + 4, RIL:RIL + 4].set(jnp.eye(4, dtype=jnp.float64))
     Fx = Fx.at[SFT, SFT].set(1.0)
     Fx = Fx.at[POS:POS + 3, VEL:VEL + 3].set(eye3 * dt)
+    # d(vel)/d(grav) = dt*I: the mean propagation integrates the gravity
+    # STATE into velocity (_propagate_mean), so the error-state Jacobian
+    # must couple them — the reference's Fx omits this ("use calculated
+    # value", ekf.cpp:536-537) despite its own propagate_state using grav
+    # (ekf.cpp:499), which freezes gravity forever: a filter seeded with an
+    # imperfect gravity (any in-motion init) then integrates a constant
+    # acceleration error that pose updates can never explain, and velocity
+    # diverges ~|Δg| per second (measured: 48° gravity seed error on an
+    # accelerating start → velocity error growing 0.5 m/s per scan). The
+    # reference never runs its EKF, so the omission was invisible there.
+    # Documented deviation (PARITY.md #27).
+    Fx = Fx.at[VEL:VEL + 3, GRAV_I:GRAV_I + 3].set(eye3 * dt)
 
     # d(vel)/d(quat): columns dR_i^T T_ab dt, then right-multiplied by A
     dv_dq = jnp.einsum("qji,j->iq", dR, T_ab) * dt  # (3, 4)

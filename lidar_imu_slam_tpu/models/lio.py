@@ -196,8 +196,18 @@ def step(
             (core.pose[:3, 3] - state.odo.pose[:3, 3]) / dt,
             jnp.zeros(3, jnp.float64),
         )
+        # world acceleration from the last three odometry poses (second
+        # difference): corrects the gravity seed when the init window
+        # covered real vehicle acceleration — a launch ramp puts the mean
+        # specific force 10+ m/s^2 off the gravity reaction (PARITY.md #27)
+        accel = jnp.where(
+            state.odo.num_poses > 1,
+            (core.pose[:3, 3] - 2.0 * state.odo.pose[:3, 3]
+             + state.odo.pose_prev[:3, 3]) / (dt * dt),
+            jnp.zeros(3, jnp.float64),
+        )
         return ekf_mod.initialize_from_odometry(
-            e, imu_init_next.mean_acc, T_wi, vel, cfg.ekf
+            e, imu_init_next.mean_acc, T_wi, vel, cfg.ekf, accel_world=accel
         )
 
     ekf_state = jax.lax.cond(just_done, seed, lambda e: e, ekf_state)

@@ -56,7 +56,6 @@ class TestJacobians:
         xg = jnp.asarray([0.1, -0.2, 0.3])
         xa = jnp.asarray([0.2, 0.1, 9.7])
         dt = 0.005
-        grav = m0[ekf.GRAV_I:ekf.GRAV_I + 3]
 
         def f(m_inner):
             w = xg - m_inner[ekf.BGA:ekf.BGA + 3]
@@ -66,7 +65,12 @@ class TestJacobians:
             out = m_inner
             T_ab = m_inner[ekf.BAT:ekf.BAT + 3] * xa - m_inner[ekf.BAA:ekf.BAA + 3]
             out = out.at[ekf.POS:ekf.POS + 3].add(m_inner[ekf.VEL:ekf.VEL + 3] * dt)
-            out = out.at[ekf.VEL:ekf.VEL + 3].add((R.T @ T_ab + grav) * dt)
+            # gravity comes from the STATE, as in _propagate_mean — the
+            # autodiff Jacobian therefore carries d(vel)/d(grav) = dt*I
+            # (PARITY.md #27)
+            out = out.at[ekf.VEL:ekf.VEL + 3].add(
+                (R.T @ T_ab + m_inner[ekf.GRAV_I:ekf.GRAV_I + 3]) * dt
+            )
             out = out.at[ekf.ORI:ekf.ORI + 4].set(q_next)
             return out
 
@@ -87,6 +91,11 @@ class TestJacobians:
         )
         np.testing.assert_allclose(
             Fx[ekf.POS:ekf.POS + 3, ekf.VEL:ekf.VEL + 3], np.eye(3) * dt, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            Fx[ekf.VEL:ekf.VEL + 3, ekf.GRAV_I:ekf.GRAV_I + 3],
+            J[ekf.VEL:ekf.VEL + 3, ekf.GRAV_I:ekf.GRAV_I + 3],
+            atol=1e-12,
         )
         np.testing.assert_allclose(
             Fx[ekf.VEL:ekf.VEL + 3, ekf.BAA:ekf.BAA + 3],

@@ -161,6 +161,9 @@ def np_reference_predict_cov(P, m_prev, xg, xa, dt, cfg):
     Fx[RIL:RIL + 4, RIL:RIL + 4] = np.eye(4)
     Fx[SFT, SFT] = 1.0
     Fx[POS:POS + 3, VEL:VEL + 3] = np.eye(3) * dt
+    # d(vel)/d(grav) = dt*I: deviation from the reference's Fx, which
+    # freezes gravity despite integrating it into velocity (PARITY.md #27)
+    Fx[VEL:VEL + 3, GRAV:GRAV + 3] = np.eye(3) * dt
     dv_dq = np.stack([dR[i].T @ T_ab * dt for i in range(4)], axis=1)  # (3,4)
     Fx[VEL:VEL + 3, ORI:ORI + 4] = dv_dq @ A
     Fx[ORI:ORI + 4, ORI:ORI + 4] = A

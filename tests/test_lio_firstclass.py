@@ -167,3 +167,117 @@ class TestImuOverflow:
             scans_fn(), imu
         )
         assert any(int(m.get("imu_overflow", 0)) > 0 for m in r.metrics.records)
+
+
+class TestInMotionInit:
+    """Round-4/5 filter changes (commits d788269 + round 5; PARITY.md
+    #26/#27): odometry-seeded EKF init for static initializations that
+    complete IN MOTION, scan-end nominal-state extrapolation, and online
+    gravity estimation through the d(vel)/d(grav) Fx coupling.
+
+    Regressions guarded:
+      * without the odometry seed, init completing at 8 m/s reset the
+        nominal state to identity/zero velocity, the next scan's guess
+        teleported, and registration measured 305 ICP iterations with
+        10.7 m error (round 4);
+      * without the Fx gravity coupling (reference omission, PARITY #27),
+        the launch-ramp-contaminated gravity seed (~48 deg off vertical
+        here) could never be corrected: velocity error grew ~0.5 m/s per
+        scan and ICP saturated at the iteration cap, non-converged.
+
+    The drive uses ROLLING-shutter rendered scans (per-point poses): the
+    rigid-rendered scans carry sweep timestamps the IMU undistortion would
+    'correct', warping the cloud by ~0.8 m at 8 m/s."""
+
+    def _drive_fast(self, n=22, speed=8.0):
+        """Direct lio.step drive at speed: make_trajectory ramps up to
+        `speed` over the first ~2 s, so the 50-sample IMU init window sees
+        a sustained 10+ m/s^2 forward specific force and completes around
+        scan 4-5, several metres from the origin and still accelerating —
+        the hardest in-motion completion case."""
+        import dataclasses
+
+        import jax
+
+        from lidar_imu_slam_tpu.models import lio
+        from lidar_imu_slam_tpu.ops.preprocess import pack_raw_scan, preprocess_scan
+
+        cfg = _cfg(
+            lidar=dict(max_range=40.0, min_range=0.5, max_points=4096),
+            imu=dict(max_init_count=50, max_samples_per_scan=16),
+        )
+        cfg = cfg.replace(
+            map=dataclasses.replace(cfg.map, max_range=40.0, capacity=1 << 14),
+            icp=dataclasses.replace(cfg.icp, deskew=True),
+            ekf=dataclasses.replace(cfg.ekf, lidar_pose_trail=2),
+        )
+        world = synthetic.make_world(
+            seed=11, n_points=120_000, extent=(120.0, 30.0, 6.0)
+        )
+        gt = synthetic.make_trajectory(
+            n_poses=n, speed=speed, yaw_rate=0.01, dt=0.1
+        )
+        times, gyros, accs = synthetic.make_imu_stream(gt, 0.1, imu_rate=100.0)
+
+        state = lio.init_state(cfg)
+        outs = []
+        for i in range(len(gt)):
+            pe = gt[min(i + 1, len(gt) - 1)]
+            pts, rel = synthetic.render_scan_rolling(
+                world, gt[i], pe, 0.1, 4096, 0.5, 40.0, noise=0.01, seed=i
+            )
+            raw = pack_raw_scan(
+                pts, time=i * 0.1 + rel, stamp=i * 0.1, max_points=4096
+            )
+            lo, hi = np.searchsorted(times, (i * 0.1, (i + 1) * 0.1))
+            hi = min(hi, lo + 10)
+            pkt = lio.pack_imu_packet(
+                times[lo:hi] + 1e-3, gyros[lo:hi], accs[lo:hi], 16
+            )
+            state, out = lio.step_jit(
+                state, preprocess_scan(raw, cfg.lidar), pkt, cfg
+            )
+            outs.append(jax.tree.map(np.asarray, out))
+        return cfg, gt, outs
+
+    def test_in_motion_init_keeps_icp_converged(self):
+        cfg, gt, outs = self._drive_fast()
+        used = np.asarray([o.used_imu for o in outs])
+        assert used.any(), "IMU never initialized in the drive"
+        first = int(np.argmax(used))
+        # init genuinely completed IN MOTION: the vehicle was metres from
+        # the origin when the EKF took over
+        assert np.linalg.norm(np.asarray(outs[first].pose)[:3, 3]) > 2.0
+        # seeded init + online gravity: every post-init registration
+        # CONVERGES below the iteration cap (the teleport/frozen-gravity
+        # failures saturate at the cap, non-converged)
+        for i in range(first, len(outs)):
+            assert bool(outs[i].icp_converged), (
+                f"scan {i} not converged ({int(outs[i].icp_iterations)} it)"
+            )
+            assert int(outs[i].icp_iterations) < cfg.icp.max_iterations
+        # and the trajectory tracks ground truth through the handover
+        # (LIO poses are at scan END — compare against gt[i+1])
+        gt_rel = np.linalg.inv(gt[0]) @ gt[len(outs) - 1]
+        err = np.linalg.norm(np.asarray(outs[-1].pose)[:3, 3] - gt_rel[:3, 3])
+        assert err < 0.6, f"final tracking error {err:.3f} m"
+
+    def test_gravity_converges_and_velocity_bounded(self):
+        cfg, gt, outs = self._drive_fast()
+        used = np.asarray([o.used_imu for o in outs])
+        first = int(np.argmax(used))
+        # ground-truth world velocity at scan END (finite difference)
+        pos = gt[:, :3, 3]
+        v_gt = np.gradient(pos, 0.1 * np.arange(len(gt)), axis=0)
+        errs = np.asarray([
+            np.linalg.norm(
+                np.asarray(outs[i].velocity) - v_gt[min(i + 1, len(gt) - 1)]
+            )
+            for i in range(first, len(outs))
+        ])
+        # the frozen-gravity filter reached |v err| > 5 m/s by the end of
+        # this drive; the coupled filter must CONVERGE, not grow
+        assert errs[-1] < 0.5, f"final velocity error {errs[-1]:.2f} m/s"
+        assert errs[-1] < errs[0] + 0.1, (
+            f"velocity error grew over the drive: {np.round(errs, 2)}"
+        )
