@@ -91,46 +91,64 @@ def _emit(**updates):
     )
 
 
-def _ate(poses, gt):
-    """Translation RMS ATE of world-frame poses vs the ground-truth
-    trajectory expressed relative to its first pose (scan 0 registers
-    against an empty map at identity, so the odometry world frame IS
-    gt[0])."""
+def _ate(poses, gt, shift=0.0):
+    """Translation RMS ATE of odometry poses vs ground truth.
+
+    `shift` picks the intra-scan time the estimator's pose convention
+    anchors to, in scan periods: 0.5 for the KISS CV deskew (mid-scan
+    frame, reference deskew.cpp:10-29's tau-0.5), 1.0 for LIO (the EKF
+    extrapolates to scan END and the IMU undistortion targets the
+    scan-end frame, reference ekf.cpp:393-456). Displacements are
+    compared from the first pose: scan 0 registers against an empty map
+    at identity, so the odometry anchor carries the (convention-
+    dependent) pose of scan 0's cloud — differencing removes it."""
     poses = np.asarray(poses)
-    gt_rel = np.linalg.inv(gt[0])[None] @ np.asarray(gt[: poses.shape[0]])
-    err = np.linalg.norm(poses[:, :3, 3] - gt_rel[:, :3, 3], axis=-1)
-    return float(np.sqrt(np.mean(err**2)))
+    n = poses.shape[0]
+    pos = np.asarray(gt)[:, :3, 3]
+    t = np.minimum(np.arange(n, dtype=np.float64) + shift, len(gt) - 1.0)
+    k = np.minimum(t.astype(int), len(gt) - 2)
+    a = (t - k)[:, None]
+    target = (1.0 - a) * pos[k] + a * pos[k + 1]
+    R0 = np.asarray(gt)[0, :3, :3]
+    target_rel = (target - target[0]) @ R0  # rows: R0^T (p - p_0)
+    d = (poses[:, :3, 3] - poses[0, :3, 3]) - target_rel
+    return float(np.sqrt(np.mean(np.sum(d**2, axis=-1))))
 
 
 def _tunnel_rtt(n: int = 10):
-    """Median host<->device round-trip for a tiny sync (the axon tunnel
+    """Median host<->device round-trip for a tiny fetch (the axon tunnel
     latency floor; subtracted from per-block walls to get device-only
-    per-scan latency)."""
+    per-scan latency). Each sample fetches a FRESH device value — fetching
+    the same committed array repeatedly reads the client's host copy and
+    measures ~0."""
     import jax
     import jax.numpy as jnp
 
     x = jax.device_put(jnp.zeros((1,), jnp.float32))
-    np.asarray(x)  # warm
+    np.asarray(x + 1.0)  # warm the add program
     ts = []
-    for _ in range(n):
+    for i in range(n):
         t0 = time.perf_counter()
-        np.asarray(x)
+        np.asarray(x + (2.0 + i))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
 
 def _make_raws(n_scans, points_per_scan):
     """Host-resident packed RawScans (numpy pytrees): upload + device
-    preprocess happen inside the timed loops. Rendered scans are cached on
-    disk — the synthetic render costs minutes on this 1-core host and is
-    not part of anything being measured."""
+    preprocess happen inside the timed loops. Scans are ROLLING-SHUTTER
+    rendered (each point observed at its own interpolated pose) so the
+    per-point timestamps describe real intra-scan motion — rigid renders
+    with sweep timestamps make any deskewing estimator 'correct'
+    distortion that never happened (~0.8 m of warp at 8 m/s). Renders are
+    cached on disk; the render is not part of anything being measured."""
     from lidar_imu_slam_tpu.host import synthetic
     from lidar_imu_slam_tpu.ops.preprocess import pack_raw_scan
 
-    cache = f"/tmp/lis_bench_{n_scans}x{points_per_scan}.npz"
+    cache = f"/tmp/lis_bench_roll_{n_scans}x{points_per_scan}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
-        clouds = [z[f"xyz{i}"] for i in range(n_scans)]
+        clouds = [(z[f"xyz{i}"], z[f"rel{i}"]) for i in range(n_scans)]
     else:
         world = synthetic.make_world(
             seed=0, n_points=600_000, extent=(160.0, 40.0, 12.0)
@@ -139,20 +157,25 @@ def _make_raws(n_scans, points_per_scan):
             n_poses=n_scans, speed=8.0, yaw_rate=0.01, dt=0.1
         )
         clouds = [
-            synthetic.render_scan(
-                world, pose, points_per_scan, 2.5, 80.0, noise=0.02, seed=i
+            synthetic.render_scan_rolling(
+                world, gt[i], gt[min(i + 1, n_scans - 1)], 0.1,
+                points_per_scan, 2.5, 80.0, noise=0.02, seed=i,
             )
-            for i, pose in enumerate(gt)
+            for i in range(n_scans)
         ]
-        np.savez(cache, **{f"xyz{i}": c for i, c in enumerate(clouds)})
+        np.savez(
+            cache,
+            **{f"xyz{i}": c for i, (c, _) in enumerate(clouds)},
+            **{f"rel{i}": r for i, (_, r) in enumerate(clouds)},
+        )
     return [
         pack_raw_scan(
             pts,
-            time=synthetic.azimuth_times(pts, i * 0.1),
+            time=i * 0.1 + rel,
             stamp=i * 0.1,
             max_points=points_per_scan,
         )
-        for i, pts in enumerate(clouds)
+        for i, (pts, rel) in enumerate(clouds)
     ]
 
 
@@ -212,6 +235,12 @@ def _make_cfg(points_per_scan, gn_backend="pallas"):
         icp=cfgmod.IcpConfig(
             max_map_points=32768, max_source_points=4096,
             estimation_threshold=5e-4, gn_backend=gn_backend,
+            # CV deskew ON (the reference's wired path deskews,
+            # icp.cpp:36-47): the scans are rolling-rendered, so the
+            # estimator has real intra-scan distortion to remove. In the
+            # fast path the twist scalars come out of pose_pre regardless,
+            # so this costs only the per-point application.
+            deskew=True,
         ),
     )
 
@@ -251,7 +280,7 @@ def main():
         dev_ms = [max(b - rtt_ms, 0.0) for b in block_ms]
         _emit(
             device_pipelined_scans_per_sec=round(rate, 2),
-            ate_m=round(_ate(poses, gt), 4),
+            ate_m=round(_ate(poses, gt, shift=0.5), 4),
             # device-only per-scan latency: per-block wall minus the
             # measured tunnel round-trip, over the block size (VERDICT r4
             # weak #6 — the synced p50 below conflates tunnel and compute)
@@ -267,9 +296,10 @@ def main():
     # --- 2. LIO (flagship lidar-inertial), device-pipelined ----------------
     def mode_lio():
         rate, poses = _bench_lio(cfg, raws, n_scans)
+        # LIO poses are at scan END (shift=1.0, see _ate)
         _emit(
             lio_scans_per_sec=round(rate, 2),
-            lio_ate_m=round(_ate(poses, gt), 4),
+            lio_ate_m=round(_ate(poses, gt, shift=1.0), 4),
         )
 
     run("lio", mode_lio)
@@ -304,7 +334,7 @@ def main():
     def mode_f64():
         cfg64 = _make_cfg(points_per_scan, gn_backend="xla")
         rate, poses, _ = _bench_chained(cfg64, raws, n_scans)
-        ate64 = _ate(poses, gt)
+        ate64 = _ate(poses, gt, shift=0.5)
         ate_fast = _EXTRA.get("ate_m")
         _emit(
             classic_f64_scans_per_sec=round(rate, 2),

@@ -152,12 +152,23 @@ def render_scan_rolling(
     Ra, Rb = pose_start[:3, :3], pose_end[:3, :3]
     w_ab = _log_so3(Ra.T @ Rb)
     pa, pb = pose_start[:3, 3], pose_end[:3, 3]
-    out = np.empty((len(idx), 3))
-    for k in range(len(idx)):
-        t = tau[k]
-        Rt = Ra @ _exp_so3(w_ab * t)
-        pt = pa + t * (pb - pa)
-        out[k] = Rt.T @ (pts_w[k] - pt)
+    # vectorized per-point pose interpolation (a Python loop here costs
+    # minutes at 131k points on this 1-core host): rel_i = points in the
+    # interpolated sensor frame, Rt = Ra exp(w t) applied transposed via
+    # the Rodrigues expansion on (N,3) blocks
+    theta = np.linalg.norm(w_ab)
+    d_w = pts_w - (pa[None] + tau[:, None] * (pb - pa)[None])  # (N,3) world
+    d_a = d_w @ Ra  # rows: Ra^T d  -> start-frame
+    if theta < 1e-12:
+        out = d_a
+    else:
+        k = w_ab / theta
+        ang = theta * tau  # (N,)
+        c, s = np.cos(ang)[:, None], np.sin(ang)[:, None]
+        # exp(w t)^T d = c d - s (k x d) + (1-c)(k.d) k
+        kxd = np.cross(np.broadcast_to(k, d_a.shape), d_a)
+        kdd = (d_a @ k)[:, None]
+        out = c * d_a - s * kxd + (1.0 - c) * kdd * k[None]
     out += rng.normal(0, noise, out.shape)
     return out, tau * scan_duration
 

@@ -167,11 +167,39 @@ def initialize_from_odometry(
     origin — the next scan's guess teleports and registration diverges
     (measured: 305 ICP iterations and 10.7 m error on the 8 m/s bench
     trajectory; 4-6 iterations with the seed).
+
+    AT-REST inits (|vel_world| <= 0.5 m/s) fall back to EXACTLY the
+    `initialize_gravity_alignment` behavior: accelerometer-aligned
+    orientation, exact-vertical gravity, untouched pos/vel and their
+    near-frozen priors. At rest (a) the rest-window mean specific force
+    IS the gravity reaction — the best-conditioned attitude source; (b)
+    the odometry second-difference acceleration is pure ICP noise
+    amplified by 1/dt^2 (~2 m/s^2 from mm-level pose noise); and (c) the
+    loose in-motion priors let modeling errors (e.g. a sub-latch IMU
+    clock skew, tests/test_adversarial.py) leak into velocity/gravity
+    and drift the filter — the round-4 version seeded every init from
+    odometry and regressed exactly that test.
     """
+    # "moving" = an identity/zero reset would actually endanger the next
+    # registration: the guess error it causes is |v| * scan_dt, dangerous
+    # once it approaches the correspondence basin (~half a voxel). Below
+    # the threshold the gravity-alignment seed is the better-conditioned
+    # choice — its rest-window assumptions hold to O(|v|·yaw_rate) and its
+    # tight priors keep modeling errors (IMU clock skew) from leaking into
+    # velocity/gravity (tests/test_adversarial.py regression, round 4).
+    moving = jnp.linalg.norm(vel_world) > 2.5
     R_wb = T_wi[:3, :3]  # world-from-body
-    q = lie.rot_to_quat(R_wb.T)  # state convention: world->body
     mean_dir = mean_acc / jnp.linalg.norm(mean_acc)
-    g_world = -(R_wb @ mean_dir) * GRAVITY
+    # at rest: accelerometer-aligned orientation (R(q) up = acc_dir) and
+    # exact-vertical gravity — initialize_gravity_alignment's math
+    up = jnp.array([0.0, 0.0, 1.0], jnp.float64)
+    q_align = lie.quat_from_two_vectors(up, mean_acc)
+    q = jnp.where(moving, lie.rot_to_quat(R_wb.T), q_align)
+    g_world = jnp.where(
+        moving,
+        -(R_wb @ mean_dir) * GRAVITY,
+        jnp.array([0.0, 0.0, -1.0], jnp.float64) * GRAVITY,
+    )
     if accel_world is not None:
         # the init window may cover real vehicle acceleration (a launch
         # ramp): the specific-force model f_b = R_bw (a_w - g_w) gives
@@ -185,13 +213,18 @@ def initialize_from_odometry(
         g_est = accel_world - R_wb @ mean_acc
         g_norm = jnp.linalg.norm(g_est)
         g_world = jnp.where(
-            g_norm > 0.5 * GRAVITY, g_est / jnp.maximum(g_norm, 1e-9) * GRAVITY,
+            moving & (g_norm > 0.5 * GRAVITY),
+            g_est / jnp.maximum(g_norm, 1e-9) * GRAVITY,
             g_world,
         )
     m = state.m
     m = m.at[ORI:ORI + 4].set(q)
-    m = m.at[POS:POS + 3].set(T_wi[:3, 3])
-    m = m.at[VEL:VEL + 3].set(vel_world)
+    m = m.at[POS:POS + 3].set(
+        jnp.where(moving, T_wi[:3, 3], m[POS:POS + 3])
+    )
+    m = m.at[VEL:VEL + 3].set(
+        jnp.where(moving, vel_world, m[VEL:VEL + 3])
+    )
     m = m.at[GRAV_I:GRAV_I + 3].set(g_world)
     noise_scale = cfg.noise_scale * cfg.noise_scale
     P = state.P
@@ -201,14 +234,20 @@ def initialize_from_odometry(
     )
     # the finite-difference velocity seed is good to ~the per-scan pose
     # noise / scan period; 1 (m/s)^2 per axis is a conservative prior
-    P = P.at[VEL + jnp.arange(3), VEL + jnp.arange(3)].set(1.0 * noise_scale)
+    # (in-motion only — see docstring)
+    vidx = VEL + jnp.arange(3)
+    P = P.at[vidx, vidx].set(
+        jnp.where(moving, 1.0 * noise_scale, P[vidx, vidx])
+    )
     # gravity is NOT well-determined by an in-motion init (the mean
     # specific force conflates gravity with vehicle acceleration): replace
     # the tiny time-noise quirk variance (_process_covariance) with an
     # honest prior so the d(vel)/d(grav)-coupled filter can estimate it
-    # online. (3 m/s^2)^2 covers a hard launch ramp.
-    P = P.at[GRAV_I + jnp.arange(3), GRAV_I + jnp.arange(3)].set(
-        9.0 * noise_scale
+    # online. (3 m/s^2)^2 covers a hard launch ramp. At-rest inits KEEP
+    # the near-frozen prior (see `moving` above).
+    gidx = GRAV_I + jnp.arange(3)
+    P = P.at[gidx, gidx].set(
+        jnp.where(moving, 9.0 * noise_scale, P[gidx, gidx])
     )
     return state._replace(m=m, P=P, orientation_initialized=jnp.asarray(True))
 

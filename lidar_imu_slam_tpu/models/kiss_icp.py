@@ -222,26 +222,15 @@ def register_core(
     )
 
 
-def _register_frame_fast(state: KissState, scan: Scan, cfg: PipelineConfig):
-    """`register_frame` with the per-scan pose bookkeeping fused into two
-    Pallas kernels (ops/pallas/pose_chain.py) and the ICP carrier in
-    f32 + float-float — the pallas-backend fast path.
-
-    The classic path's ~70 scalar f64 ops (prediction, guess, threshold,
-    deskew twist, divergence gate, orthonormalize, delta) each lower to
-    their own XLA f64-emulation fusion with ~10-20 us dispatch latency:
-    ~1.2 ms of a 4.3 ms scan on a v5e (round-4 profiling). Here the f64
-    state crosses into f32/float-float ONCE per scan (one packed split,
-    one packed recombine) and everything between is two kernel dispatches
-    plus f32 vector work. Same math as `register_frame` up to documented
-    precision deviations (PARITY.md): f32 rotations (per-scan numeric
-    noise ~1e-7 rad, 3 orders below ICP noise), float-float translations
-    (~2^-48), Newton orthonormalization instead of the quaternion
-    round-trip."""
+def pose_pre_row(state: KissState, cfg: PipelineConfig):
+    """Run the pre-ICP bookkeeping kernel on the pose state: ONE
+    float-float split of every f64 scalar the kernel consumes, one SMEM
+    kernel dispatch. Returns the (128,) f32 row (CV guess, adaptive
+    sigma, moved flag, threshold accumulators, deskew twist pieces —
+    ops/pallas/pose_chain.py docstring)."""
     from ..ops.pallas import pose_chain
 
     thr = state.threshold
-    # ONE float-float split for every f64 scalar the kernels consume
     vec = jnp.concatenate([
         state.pose.reshape(16),
         state.pose_prev.reshape(16),
@@ -252,7 +241,7 @@ def _register_frame_fast(state: KissState, scan: Scan, cfg: PipelineConfig):
     lo = (vec - hi.astype(jnp.float64)).astype(jnp.float32)
     md = thr.model_deviation.reshape(16).astype(jnp.float32)
     ints = jnp.stack([state.num_poses, thr.num_samples])
-    row = pose_chain.pose_pre(
+    return pose_chain.pose_pre(
         hi, lo, md, ints,
         min_motion_th=cfg.icp.min_motion_th,
         initial_threshold=cfg.icp.initial_threshold,
@@ -260,15 +249,46 @@ def _register_frame_fast(state: KissState, scan: Scan, cfg: PipelineConfig):
         deskew_on=cfg.icp.deskew,
     )
 
-    # vector deskew driven by the kernel's twist scalars (identity when the
-    # kernel gated them to zero — no lax.cond)
-    deskewed_xyz = deskew_ops.deskew_from_scalars(scan.xyz, scan.tau, row[19:32])
 
-    guess_R9, g_th, g_tl = row[0:9], row[9:12], row[12:15]
-    sigma = row[15]
+class FastCoreOutput(NamedTuple):
+    """Raw f32/ff results of one fast-trunk registration (recombine to f64
+    only where downstream consumers need it)."""
 
-    # world transform at the guess + fused grouped downsample (same trunk
-    # as register_core, f32 pair instead of f64 pose)
+    new_map: voxel_map.VoxelMap
+    prow: jnp.ndarray  # (128,) pose_post row: new pose, delta, model dev
+    source: jnp.ndarray
+    source_mask: jnp.ndarray
+    map_points: jnp.ndarray  # corrected insert downsample (world)
+    map_points_mask: jnp.ndarray
+    sigma: jnp.ndarray  # () f32
+    iterations: jnp.ndarray
+    num_correspondences: jnp.ndarray
+    residual_rms: jnp.ndarray  # () f32
+    converged: jnp.ndarray
+    window_drops: jnp.ndarray
+
+
+def _fast_trunk(
+    m: voxel_map.VoxelMap,
+    deskewed_xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    tau,
+    guess_R9: jnp.ndarray,  # (9,) f32
+    g_th: jnp.ndarray,  # (3,) f32 guess translation hi
+    g_tl: jnp.ndarray,  # (3,) f32 guess translation lo
+    sigma: jnp.ndarray,  # () f32 adaptive threshold
+    cfg: PipelineConfig,
+) -> FastCoreOutput:
+    """The fast registration trunk shared by the lidar-only fast path and
+    the LIO fast path: world transform at the guess, fused grouped
+    downsample, IQR source mask, float-float-carrier fused-Pallas ICP,
+    pose_post bookkeeping kernel, map insert/evict (+ conditional
+    compaction). Mirrors `register_core` (reference icp.cpp:58-86) with
+    the documented fast-path precision deviations (PARITY.md #24)."""
+    from ..ops.pallas import pose_chain
+
+    # world transform at the guess + fused grouped downsample (f32 pair
+    # instead of f64 pose)
     x, y, z = deskewed_xyz[:, 0], deskewed_xyz[:, 1], deskewed_xyz[:, 2]
     tg = g_th + g_tl
     wx = guess_R9[0] * x + guess_R9[1] * y + guess_R9[2] * z + tg[0]
@@ -276,8 +296,8 @@ def _register_frame_fast(state: KissState, scan: Scan, cfg: PipelineConfig):
     wz = guess_R9[6] * x + guess_R9[7] * y + guess_R9[8] * z + tg[2]
     world = jnp.stack([wx, wy, wz], axis=-1)
     g = voxel_map.fused_downsample(
-        world, scan.mask, cfg.map.voxel_size, cfg.icp.max_map_points,
-        tau=None if cfg.lidar.sort_by_time else scan.tau,
+        world, mask, cfg.map.voxel_size, cfg.icp.max_map_points,
+        tau=None if cfg.lidar.sort_by_time else tau,
     )
     source, source_mask, _, src_drops = voxel_map.first_point_per_voxel(
         g.points, g.mask, 1.5 * cfg.map.voxel_size, cfg.icp.max_source_points
@@ -291,7 +311,7 @@ def _register_frame_fast(state: KissState, scan: Scan, cfg: PipelineConfig):
     eye9 = jnp.asarray([1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)
     zero3 = jnp.zeros(3, jnp.float32)
     R9f, thf, tlf, iters, n_corr, rms, conv = icp_ops.icp_registration_fused_pair(
-        m=state.map, points=source, mask=source_mask,
+        m=m, points=source, mask=source_mask,
         guess_R9=eye9, guess_th=zero3, guess_tl=zero3,
         max_corresp_dist=3.0 * sigma, kernel_th=sigma / 3.0,
         map_cfg=cfg.map, max_iterations=cfg.icp.max_iterations,
@@ -313,7 +333,7 @@ def _register_frame_fast(state: KissState, scan: Scan, cfg: PipelineConfig):
     pre_keys = voxel_map.pack_key(
         voxel_map.voxel_of(g.points, cfg.map.voxel_size)
     )
-    new_map = voxel_map.insert_grouped(state.map, g_corr, cfg.map, keys=pre_keys)
+    new_map = voxel_map.insert_grouped(m, g_corr, cfg.map, keys=pre_keys)
     new_map = voxel_map.evict_far(new_map, prow[9:12], cfg.map)
     if cfg.map.auto_rebuild:
         cap = cfg.map.capacity
@@ -324,20 +344,72 @@ def _register_frame_fast(state: KissState, scan: Scan, cfg: PipelineConfig):
             need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
             new_map,
         )
+    return FastCoreOutput(
+        new_map=new_map,
+        prow=prow,
+        source=source,
+        source_mask=source_mask,
+        map_points=g_corr.points,
+        map_points_mask=g.mask,
+        sigma=sigma,
+        iterations=iters,
+        num_correspondences=n_corr,
+        residual_rms=rms,
+        converged=conv,
+        window_drops=g.window_drops + src_drops,
+    )
 
-    # ONE recombine back to the f64 state/output dtypes
-    new_pose = lie.make_transform(
+
+def fast_pose_from_prow(prow: jnp.ndarray) -> jnp.ndarray:
+    """Recombine pose_post's float-float pose row into the f64 (4,4)."""
+    return lie.make_transform(
         prow[0:9].reshape(3, 3).astype(jnp.float64),
         prow[9:12].astype(jnp.float64) + prow[12:15].astype(jnp.float64),
     )
-    thr_state = icp_ops.ThresholdState(
+
+
+def fast_threshold_state(row, prow) -> icp_ops.ThresholdState:
+    """Recombine the threshold accumulators from the pre/post rows."""
+    return icp_ops.ThresholdState(
         row[17].astype(jnp.float64) + row[32].astype(jnp.float64),
         row[18].astype(jnp.int32),
         prow[28:44].astype(jnp.float64).reshape(4, 4),
     )
 
+
+def _register_frame_fast(state: KissState, scan: Scan, cfg: PipelineConfig):
+    """`register_frame` with the per-scan pose bookkeeping fused into two
+    Pallas kernels (ops/pallas/pose_chain.py) and the ICP carrier in
+    f32 + float-float — the pallas-backend fast path.
+
+    The classic path's ~70 scalar f64 ops (prediction, guess, threshold,
+    deskew twist, divergence gate, orthonormalize, delta) each lower to
+    their own XLA f64-emulation fusion with ~10-20 us dispatch latency:
+    ~1.2 ms of a 4.3 ms scan on a v5e (round-4 profiling). Here the f64
+    state crosses into f32/float-float ONCE per scan (one packed split,
+    one packed recombine) and everything between is two kernel dispatches
+    plus f32 vector work. Same math as `register_frame` up to documented
+    precision deviations (PARITY.md): f32 rotations (per-scan numeric
+    noise ~1e-7 rad, 3 orders below ICP noise), float-float translations
+    (~2^-48), Newton orthonormalization instead of the quaternion
+    round-trip."""
+    row = pose_pre_row(state, cfg)
+
+    # vector deskew driven by the kernel's twist scalars (identity when the
+    # kernel gated them to zero — no lax.cond)
+    deskewed_xyz = deskew_ops.deskew_from_scalars(scan.xyz, scan.tau, row[19:32])
+
+    core = _fast_trunk(
+        state.map, deskewed_xyz, scan.mask, scan.tau,
+        row[0:9], row[9:12], row[12:15], row[15], cfg,
+    )
+
+    # ONE recombine back to the f64 state/output dtypes
+    new_pose = fast_pose_from_prow(core.prow)
+    thr_state = fast_threshold_state(row, core.prow)
+
     new_state = KissState(
-        map=new_map,
+        map=core.new_map,
         pose=new_pose,
         pose_prev=jnp.where(state.num_poses == 0, new_pose, state.pose),
         first_pose=jnp.where(state.num_poses == 0, new_pose, state.first_pose),
@@ -346,17 +418,17 @@ def _register_frame_fast(state: KissState, scan: Scan, cfg: PipelineConfig):
     )
     out = FrameOutput(
         pose=new_pose,
-        keypoints=source,
-        keypoints_mask=source_mask,
-        deskewed=g_corr.points,
-        deskewed_mask=g.mask,
-        icp_iterations=iters,
-        num_correspondences=n_corr,
-        residual_rms=rms.astype(jnp.float64),
-        sigma=sigma.astype(jnp.float64),
-        map_voxels=voxel_map.num_voxels(new_map),
-        icp_converged=conv,
-        window_drops=g.window_drops + src_drops,
+        keypoints=core.source,
+        keypoints_mask=core.source_mask,
+        deskewed=core.map_points,
+        deskewed_mask=core.map_points_mask,
+        icp_iterations=core.iterations,
+        num_correspondences=core.num_correspondences,
+        residual_rms=core.residual_rms.astype(jnp.float64),
+        sigma=core.sigma.astype(jnp.float64),
+        map_voxels=voxel_map.num_voxels(core.new_map),
+        icp_converged=core.converged,
+        window_drops=core.window_drops,
     )
     return new_state, out
 
