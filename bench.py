@@ -572,7 +572,17 @@ def _bench_lio(cfg, raws, n_scans, block: int = _BLOCK):
     # the (170,170) trail bookkeeping buys nothing here; 30+14=44-dim state
     cfg = cfg.replace(
         imu=dataclasses.replace(cfg.imu, max_samples_per_scan=16),
-        ekf=dataclasses.replace(cfg.ekf, lidar_pose_trail=2),
+        # lidar_pos/ori_noise tuned to the ICP's MEASURED per-scan noise
+        # (~5 mm / ~0.01 deg on this workload) instead of the reference's
+        # never-validated 0.1 m / 0.05 rad defaults (its EKF never runs,
+        # odom_run.cpp:135-152): with the loose defaults the filter is
+        # too confident in its own (gyro-driven) yaw to ever absorb the
+        # seed-transient offset — measured: a frozen 0.2 deg yaw error
+        # and 10-12 ICP iterations/scan vs 6 tuned (PARITY.md #27).
+        ekf=dataclasses.replace(
+            cfg.ekf, lidar_pose_trail=2,
+            lidar_pos_noise=0.02, lidar_ori_noise=0.005,
+        ),
     )
     body_cfg = cfg.replace(
         map=dataclasses.replace(cfg.map, auto_rebuild=False)

@@ -148,7 +148,7 @@ def initialize_gravity_alignment(state: EkfState, mean_acc, cfg: EkfConfig) -> E
 
 def initialize_from_odometry(
     state: EkfState, mean_acc, T_wi, vel_world, cfg: EkfConfig,
-    accel_world=None,
+    accel_world=None, window_time=None,
 ) -> EkfState:
     """`initialize_gravity_alignment` for an init that completes IN MOTION,
     seeded from the running lidar odometry (no reference counterpart — the
@@ -229,25 +229,46 @@ def initialize_from_odometry(
     noise_scale = cfg.noise_scale * cfg.noise_scale
     P = state.P
     ori_block = jnp.eye(4, dtype=jnp.float64).at[3, 3].set(0.0)
-    P = P.at[ORI:ORI + 4, ORI:ORI + 4].set(
-        ori_block * (cfg.init_ori_noise**2) * noise_scale
+    # seed-trust regime: with >= 1 s of settled odometry behind the seed
+    # (a long init window), the seed quantities are measured well (vel to
+    # ~0.1 m/s, attitude to ~the odometry's rotation noise, gravity to
+    # the window-mean accel residual ~0.1-0.5 m/s^2) and the priors say
+    # so — an over-loose prior lets the first post-seed updates swing
+    # velocity by m/s and drag yaw off the map frame, after which the
+    # near-zero-process-noise attitude block is too confident to ever
+    # pull it back (measured: a frozen 0.2 deg yaw offset costing ICP
+    # 3-4 extra iterations every scan). A SHORT window (init completed
+    # seconds after launch, mid-ramp) leaves genuinely uncertain seeds:
+    # keep the loose priors so online estimation can do its job.
+    trusted = (
+        moving if window_time is None else moving & (window_time >= 1.0)
     )
-    # the finite-difference velocity seed is good to ~the per-scan pose
-    # noise / scan period; 1 (m/s)^2 per axis is a conservative prior
-    # (in-motion only — see docstring)
+    ori_var = jnp.where(
+        trusted, 0.02**2,
+        jnp.where(moving, 0.2**2, cfg.init_ori_noise**2),
+    )
+    P = P.at[ORI:ORI + 4, ORI:ORI + 4].set(
+        ori_block * ori_var * noise_scale
+    )
     vidx = VEL + jnp.arange(3)
     P = P.at[vidx, vidx].set(
-        jnp.where(moving, 1.0 * noise_scale, P[vidx, vidx])
+        jnp.where(
+            moving, jnp.where(trusted, 0.3**2, 1.0), P[vidx, vidx]
+        ) * jnp.where(moving, noise_scale, 1.0)
     )
     # gravity is NOT well-determined by an in-motion init (the mean
     # specific force conflates gravity with vehicle acceleration): replace
     # the tiny time-noise quirk variance (_process_covariance) with an
     # honest prior so the d(vel)/d(grav)-coupled filter can estimate it
-    # online. (3 m/s^2)^2 covers a hard launch ramp. At-rest inits KEEP
-    # the near-frozen prior (see `moving` above).
+    # online. (3 m/s^2)^2 covers a hard launch ramp; the trusted-window
+    # seed (window-mean accel correction, models/lio.py) narrows it to
+    # (1 m/s^2)^2. At-rest inits KEEP the near-frozen prior.
     gidx = GRAV_I + jnp.arange(3)
     P = P.at[gidx, gidx].set(
-        jnp.where(moving, 9.0 * noise_scale, P[gidx, gidx])
+        jnp.where(
+            moving, jnp.where(trusted, 1.0, 9.0) * noise_scale,
+            P[gidx, gidx],
+        )
     )
     return state._replace(m=m, P=P, orientation_initialized=jnp.asarray(True))
 

@@ -37,12 +37,19 @@ from . import ekf as ekf_mod
 from . import kiss_icp
 
 
+VEL_RING = 8  # CV-phase finite-difference velocity history (accel seed)
+
+
 class LioState(NamedTuple):
     odo: kiss_icp.KissState  # map + pose history + adaptive threshold
     ekf: ekf_mod.EkfState
     imu_init: imu_ops.ImuInitState
     last_imu: jnp.ndarray  # (7,) f64: [t, gyro(3), acc(3)] of previous packet tail
     scan_count: jnp.ndarray  # () i32
+    vel_ring: jnp.ndarray  # (VEL_RING,3) f64 recent odometry velocities
+    vel_ring_n: jnp.ndarray  # () i32 valid entries (newest at row -1)
+    init_v0: jnp.ndarray  # (3,) f64 odometry velocity at init-window start
+    init_t0: jnp.ndarray  # () f64 its timestamp; -1 = not latched yet
 
 
 class LioOutput(NamedTuple):
@@ -71,7 +78,38 @@ def init_state(cfg: PipelineConfig) -> LioState:
         imu_init=imu_ops.init_state(),
         last_imu=jnp.zeros((7,), jnp.float64),
         scan_count=jnp.int32(0),
+        vel_ring=jnp.zeros((VEL_RING, 3), jnp.float64),
+        vel_ring_n=jnp.int32(0),
+        init_v0=jnp.zeros((3,), jnp.float64),
+        init_t0=jnp.float64(-1.0),
     )
+
+
+def _ring_accel(ring, n, dt):
+    """Least-squares world-acceleration from the velocity ring.
+
+    The ring holds the last `n` (<= VEL_RING) per-scan finite-difference
+    velocities, newest at row -1, assumed dt-spaced. The LS slope over m
+    samples has variance 12 sigma_v^2 / (m (m^2-1) dt^2) — at m=8 that is
+    ~18x below the two-sample second difference (sigma ~0.1 vs ~2 m/s^2
+    from mm-level ICP pose noise at dt=0.1), while a genuine launch ramp
+    (5-10 m/s^2) still comes through at full scale. Returns zeros until 3
+    samples exist (the rest-assumption seed is better-conditioned than a
+    2-point slope)."""
+    m = jnp.minimum(n, VEL_RING)
+    idx = jnp.arange(VEL_RING, dtype=jnp.float64)
+    valid = idx >= (VEL_RING - m)
+    w = valid.astype(jnp.float64)
+    t = idx * dt
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    tbar = jnp.sum(w * t) / wsum
+    vbar = jnp.sum(w[:, None] * ring, axis=0) / wsum
+    ct = w * (t - tbar)
+    denom = jnp.sum(ct * t)
+    slope = jnp.sum(ct[:, None] * ring, axis=0) / jnp.where(
+        denom > 0, denom, 1.0
+    )
+    return jnp.where((m >= 3) & (denom > 0), slope, jnp.zeros(3, jnp.float64))
 
 
 def _with_prev_sample(packet: ekf_mod.ImuPacket, last_imu) -> ekf_mod.ImuPacket:
@@ -230,6 +268,33 @@ def step(
 
     ekf_state = jax.lax.cond(use_imu, ekf_update, lambda e: e, ekf_state)
 
+    # CV-phase velocity ring: per-scan finite-difference world velocity of
+    # the odometry, newest last. Feeds the LS acceleration estimate of the
+    # odometry seed below (a raw 3-pose second difference amplifies ICP
+    # pose noise by 1/dt^2 — measured ~2.3 m/s^2 of phantom acceleration
+    # seeding gravity 13 deg off vertical on the constant-velocity bench,
+    # costing the filter ~25 scans of 10+ ICP iterations to unwind).
+    # Frozen once the EKF runs (the seed has been consumed).
+    dt_scan = jnp.maximum(scan.t_end - scan.t_begin, 1e-3)
+    v_fd = (core.pose[:3, 3] - state.odo.pose[:3, 3]) / dt_scan
+    track = (state.odo.num_poses > 0) & ~use_imu
+    vel_ring = jnp.where(
+        track,
+        jnp.concatenate([state.vel_ring[1:], v_fd[None, :]]),
+        state.vel_ring,
+    )
+    vel_ring_n = jnp.where(
+        track,
+        jnp.minimum(state.vel_ring_n + 1, VEL_RING),
+        state.vel_ring_n,
+    )
+    # latch the first available odometry velocity as the init-window start
+    # (the static-init accumulator starts consuming samples at scan 0; the
+    # first finite-difference velocity exists one scan later)
+    latch = track & (state.init_t0 < 0)
+    init_v0 = jnp.where(latch, v_fd, state.init_v0)
+    init_t0 = jnp.where(latch, scan.t_end, state.init_t0)
+
     # static init completed THIS scan: seed the EKF nominal state from the
     # running odometry (pose, finite-difference velocity, gravity rotated
     # into the odometry world frame). Seeding at identity/zero-velocity
@@ -240,25 +305,41 @@ def step(
             lie.quat_to_rot(e.m[ekf_mod.RIL:ekf_mod.RIL + 4]),
             e.m[ekf_mod.PIL:ekf_mod.PIL + 3],
         )
-        T_wi = lie.compose(core.pose, lie.transform_inverse(T_il))
-        dt = jnp.maximum(scan.t_end - scan.t_begin, 1e-3)
+        # frame-convention handoff: with deskew on, the CV odometry's
+        # poses anchor at MID-scan (the tau-0.5 deskew frame), while the
+        # EKF nominal state and every lidar pose measurement after it are
+        # at SCAN END — seeding the raw mid-scan pose leaves a
+        # 0.5*dt*|v| forward position residual (40 cm at 8 m/s) for the
+        # first update, which the loose velocity prior converts into a
+        # ~2 m/s velocity overshoot and a ~30-scan underdamped transient
+        # (measured; ICP burned 10-12 iterations/scan throughout).
+        anchor_pose = core.pose
+        if cfg.icp.deskew:
+            anchor_pose = anchor_pose.at[:3, 3].add(0.5 * dt_scan * v_fd)
+        T_wi = lie.compose(anchor_pose, lie.transform_inverse(T_il))
         vel = jnp.where(
-            state.odo.num_poses > 0,
-            (core.pose[:3, 3] - state.odo.pose[:3, 3]) / dt,
-            jnp.zeros(3, jnp.float64),
+            state.odo.num_poses > 0, v_fd, jnp.zeros(3, jnp.float64)
         )
-        # world acceleration from the last three odometry poses (second
-        # difference): corrects the gravity seed when the init window
-        # covered real vehicle acceleration — a launch ramp puts the mean
-        # specific force 10+ m/s^2 off the gravity reaction (PARITY.md #27)
+        # world acceleration averaged over the init window: `mean_acc` is
+        # the MEAN specific force over the whole static-init window, so
+        # the correction g = a_w - R_wb f_b needs the WINDOW-MEAN world
+        # acceleration (v_end - v_start) / T — an end-of-window estimate
+        # (second difference or ring slope) reads ~0 whenever the window
+        # covered a ramp that has since flattened, leaving the ramp's
+        # mean (~4 m/s^2 on the 2 s 0->8 m/s bench lead-in) in the
+        # gravity seed (measured: 13 deg off vertical, ~25 scans of
+        # 10+ ICP iterations while the filter unwound it). Falls back to
+        # the ring LS slope when the window was too short to difference.
+        tw = scan.t_end - init_t0
+        have_window = (init_t0 >= 0) & (tw > 0.25)
+        accel_wm = (v_fd - init_v0) / jnp.maximum(tw, 1e-3)
         accel = jnp.where(
-            state.odo.num_poses > 1,
-            (core.pose[:3, 3] - 2.0 * state.odo.pose[:3, 3]
-             + state.odo.pose_prev[:3, 3]) / (dt * dt),
-            jnp.zeros(3, jnp.float64),
+            have_window, accel_wm, _ring_accel(vel_ring, vel_ring_n, dt_scan)
         )
         return ekf_mod.initialize_from_odometry(
-            e, imu_init_next.mean_acc, T_wi, vel, cfg.ekf, accel_world=accel
+            e, imu_init_next.mean_acc, T_wi, vel, cfg.ekf,
+            accel_world=accel,
+            window_time=jnp.maximum(tw, 0.0),
         )
 
     ekf_state = jax.lax.cond(just_done, seed, lambda e: e, ekf_state)
@@ -285,7 +366,9 @@ def step(
     last_imu = jnp.where(n_valid > 0, last_imu, state.last_imu)
 
     new_state = new_state._replace(
-        ekf=ekf_state, imu_init=imu_init_next, last_imu=last_imu
+        ekf=ekf_state, imu_init=imu_init_next, last_imu=last_imu,
+        vel_ring=vel_ring, vel_ring_n=vel_ring_n,
+        init_v0=init_v0, init_t0=init_t0,
     )
     out = LioOutput(
         pose=core.pose,

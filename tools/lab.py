@@ -67,29 +67,29 @@ def make_cfg(neigh=8):
     )
 
 
-def load_scans(cfg):
-    if os.path.exists(CACHE):
-        z = np.load(CACHE)
-        raws = [
-            (z[f"xyz{i}"], float(z[f"stamp{i}"])) for i in range(N_SCANS)
-        ]
-    else:
+def _ensure_cache():
+    """Render the lab drive into CACHE if missing; return the loaded npz."""
+    if not os.path.exists(CACHE):
         world = synthetic.make_world(
             seed=0, n_points=600_000, extent=(160.0, 40.0, 12.0)
         )
         gt = synthetic.make_trajectory(
             n_poses=N_SCANS, speed=8.0, yaw_rate=0.01, dt=0.1
         )
-        raws = []
         save = {}
         for i, pose in enumerate(gt):
             pts = synthetic.render_scan(
                 world, pose, PTS, 2.5, 80.0, noise=0.02, seed=i
             )
-            raws.append((pts, i * 0.1))
             save[f"xyz{i}"] = pts
             save[f"stamp{i}"] = i * 0.1
         np.savez(CACHE, **save)
+    return np.load(CACHE)
+
+
+def load_scans(cfg):
+    z = _ensure_cache()
+    raws = [(z[f"xyz{i}"], float(z[f"stamp{i}"])) for i in range(N_SCANS)]
     pre = jax.jit(lambda raw: preprocess_scan(raw, cfg.lidar))
     return [
         jax.block_until_ready(
@@ -186,7 +186,7 @@ def _chain_setup(block: int = 11):
     body_cfg = cfg.replace(
         map=dataclasses.replace(cfg.map, auto_rebuild=False)
     )
-    z = np.load(CACHE)
+    z = _ensure_cache()
     raws = []
     for i in range(N_SCANS):
         xyz, st = z[f"xyz{i}"], float(z[f"stamp{i}"])
@@ -271,6 +271,9 @@ def _lio_chain_setup(block: int = 11):
         ekf=dataclasses.replace(
             cfg.ekf,
             lidar_pose_trail=int(os.environ.get("LIS_TRAIL", "2")),
+            # ICP-measured noise, not the reference's untested defaults
+            # (same rationale as bench._bench_lio)
+            lidar_pos_noise=0.02, lidar_ori_noise=0.005,
         ),
     )
     body_cfg = cfg.replace(
@@ -293,7 +296,7 @@ def _lio_chain_setup(block: int = 11):
             times[lo:hi] + 1e-3, gyros[lo:hi], accs[lo:hi], cap
         ))
 
-    z = np.load(CACHE)
+    z = _ensure_cache()
     raws = []
     for i in range(N_SCANS):
         xyz, st = z[f"xyz{i}"], float(z[f"stamp{i}"])
