@@ -295,11 +295,13 @@ def main():
 
     # --- 2. LIO (flagship lidar-inertial), device-pipelined ----------------
     def mode_lio():
-        rate, poses = _bench_lio(cfg, raws, n_scans)
+        rate, poses, iters = _bench_lio(cfg, raws, n_scans)
         # LIO poses are at scan END (shift=1.0, see _ate)
         _emit(
             lio_scans_per_sec=round(rate, 2),
             lio_ate_m=round(_ate(poses, gt, shift=1.0), 4),
+            lio_icp_iters_mean=round(float(np.mean(iters)), 2),
+            lio_icp_iters_max=int(np.max(iters)),
         )
 
     run("lio", mode_lio)
@@ -621,9 +623,9 @@ def _bench_lio(cfg, raws, n_scans, block: int = _BLOCK):
             raw, pkt = inp
             sc = preprocess_scan(raw, body_cfg.lidar)
             st, out = lio.step(st, sc, pkt, body_cfg)
-            return st, out.pose
+            return st, (out.pose, out.icp_iterations)
 
-        state, poses = jax.lax.scan(body, state, stacked)
+        state, (poses, iters) = jax.lax.scan(body, state, stacked)
         capn = cfg.map.capacity
         need = (state.odo.map.next_slot > capn - capn // 4) & (
             state.odo.map.tombstones > capn // 16
@@ -632,21 +634,24 @@ def _bench_lio(cfg, raws, n_scans, block: int = _BLOCK):
             need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
             state.odo.map,
         )
-        return state._replace(odo=state.odo._replace(map=new_map)), poses
+        return state._replace(odo=state.odo._replace(map=new_map)), (poses, iters)
 
-    state, poses = run_block(lio.init_state(cfg), blocks[0])  # compile
+    state, (poses, _) = run_block(lio.init_state(cfg), blocks[0])  # compile
     np.asarray(poses)
     del state
     _mark("lio compiled")
     state = lio.init_state(cfg)
     all_poses = []
+    all_iters = []
     t0 = time.perf_counter()
     for b in blocks:
-        state, poses = run_block(state, b)
+        state, (poses, iters) = run_block(state, b)
         all_poses.append(poses)
+        all_iters.append(iters)
     all_poses = np.concatenate([np.asarray(p) for p in all_poses])
     rate = len(blocks) * block / (time.perf_counter() - t0)
-    return rate, all_poses
+    all_iters = np.concatenate([np.asarray(x) for x in all_iters])
+    return rate, all_poses, all_iters
 
 
 def _bench_monte_carlo(n_streams, n_steps: int = 20):

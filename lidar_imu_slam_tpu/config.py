@@ -228,6 +228,14 @@ class EkfConfig:
     # (tests/test_ekf_batched.py); set False for bit-for-bit reference
     # stepping semantics.
     batched_predict: bool = True
+    # Batched IMU-deskew trail (models/ekf.motion_compensation_with_imu):
+    # the per-IMU-pair sequential scan (16 trips of scalar f64 quaternion
+    # algebra = a ~1.9 ms/scan XLA while loop on a v5e) becomes one
+    # log-depth associative quaternion chain + velocity/position prefix
+    # sums — same f64 math, reordered (~1e-15 relative differences).
+    # False restores the reference's sequential pair-walk semantics
+    # (ekf.cpp:315-391) bit-for-bit.
+    batched_deskew: bool = True
     noise_scale: float = 100.0
     init_pos_noise: float = 1e-5
     init_vel_noise: float = 0.1

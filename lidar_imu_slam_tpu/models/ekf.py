@@ -180,14 +180,18 @@ def initialize_from_odometry(
     and drift the filter — the round-4 version seeded every init from
     odometry and regressed exactly that test.
     """
-    # "moving" = an identity/zero reset would actually endanger the next
-    # registration: the guess error it causes is |v| * scan_dt, dangerous
-    # once it approaches the correspondence basin (~half a voxel). Below
-    # the threshold the gravity-alignment seed is the better-conditioned
-    # choice — its rest-window assumptions hold to O(|v|·yaw_rate) and its
-    # tight priors keep modeling errors (IMU clock skew) from leaking into
-    # velocity/gravity (tests/test_adversarial.py regression, round 4).
-    moving = jnp.linalg.norm(vel_world) > 2.5
+    # "moving" = the velocity/gravity seeds are real signal: below the
+    # threshold v_fd is mostly ICP pose noise / dt (~0.06 m/s at mm-level
+    # noise) and the rest-window gravity alignment is the better-
+    # conditioned choice — its tight priors keep modeling errors (IMU
+    # clock skew) from leaking into velocity/gravity
+    # (tests/test_adversarial.py regression, round 4). The threshold must
+    # sit just ABOVE the noise floor, not at "fast": a 1.2 m/s init that
+    # fell into the rest branch zeroed a real velocity against the
+    # near-frozen velocity prior and the filter needed ~10 scans to
+    # absorb it (round-5 drive: 63 ICP iterations and 1.6 m of error on
+    # the first post-seed scan).
+    moving = jnp.linalg.norm(vel_world) > 0.25
     R_wb = T_wi[:3, :3]  # world-from-body
     mean_dir = mean_acc / jnp.linalg.norm(mean_acc)
     # at rest: accelerometer-aligned orientation (R(q) up = acc_dir) and
@@ -219,9 +223,12 @@ def initialize_from_odometry(
         )
     m = state.m
     m = m.at[ORI:ORI + 4].set(q)
-    m = m.at[POS:POS + 3].set(
-        jnp.where(moving, T_wi[:3, 3], m[POS:POS + 3])
-    )
+    # position ALWAYS pins to the odometry frame: every lidar pose
+    # measurement after the seed arrives in that frame, and "slow" does
+    # not mean "at the origin" — a sub-threshold init away from the
+    # origin with an identity position teleports the next guess exactly
+    # like the fast case (round-5 drive regression).
+    m = m.at[POS:POS + 3].set(T_wi[:3, 3])
     m = m.at[VEL:VEL + 3].set(
         jnp.where(moving, vel_world, m[VEL:VEL + 3])
     )
@@ -419,7 +426,8 @@ def predict(
             m, A, R, rot_lidar_imu, trans_lidar_imu, dt, calc_grav, xa, cfg
         )
         Fx, Fw = _state_jacobians(T_ab, prev_quat, A, R, dR, xa, dt)
-        P2 = _block_cov_propagate(P, Fx, Fw @ Q @ Fw.T)
+        mm = lie.matmul_nowhile  # f64 dot_general lowers to a while loop
+        P2 = _block_cov_propagate(P, Fx, mm(mm(Fw, Q), Fw.T))
         return m2, P2
 
     skip = dt <= 0.0  # reference ekf.cpp:235-240
@@ -574,11 +582,14 @@ def update_visual_pose_aug(state: EkfState, cfg: EkfConfig) -> EkfState:
     H = H.at[3 + jnp.arange(4), INNER + 3 + jnp.arange(4)].set(-1.0)
     Rn = jnp.eye(POSE_DIM, dtype=jnp.float64) * 1e-9 * noise_scale
 
-    HP = H @ P
-    S = Rn + HP @ H.T
-    L = jnp.linalg.cholesky(S)
-    K = jax.scipy.linalg.cho_solve((L, True), HP).T
-    m = m + K @ (-(H @ m))
+    # matmul_nowhile + unrolled 7x7 Cholesky: f64 dot_general/linalg lower
+    # to while-loop emulations on TPU (~0.45 ms/scan measured for the
+    # cholesky+cho_solve pair here)
+    mm = lie.matmul_nowhile
+    HP = mm(H, P)
+    S = Rn + mm(HP, H.T)
+    K = lie.chol_solve_unrolled(S, HP).T
+    m = m + mm(K, -mm(H, m[:, None]))[:, 0]
     P = _joseph_update(P, H, Rn, K)
 
     state = state._replace(
@@ -657,7 +668,11 @@ def motion_compensation_with_imu(
     t_il = m[PIL:PIL + 3]
 
     n_pts = rel_t.shape[0]
-    last_rel = jnp.max(jnp.where(pts_mask, rel_t, 0.0))
+    # f32 reduce (see the interval-search comment below): ~6 ns rounding
+    # on a <=0.1 s scan period vs an emulated f64-pair reduce over 131k
+    last_rel = jnp.max(
+        jnp.where(pts_mask, rel_t.astype(jnp.float32), jnp.float32(0.0))
+    ).astype(jnp.float64)
     pcl_end_time = pcl_beg_time + last_rel
     imu_t = packet.time
     valid_pair = packet.mask[:-1] & packet.mask[1:]
@@ -716,11 +731,54 @@ def motion_compensation_with_imu(
 
     g_mid = 0.5 * (packet.gyro[:-1] + packet.gyro[1:])
     a_mid = 0.5 * (packet.acc[:-1] + packet.acc[1:])
-    (quat_f, vel_f, pos_f), trail = jax.lax.scan(
-        pair_step,
-        (q0, vel0, pos0),
-        (imu_t[:-1], imu_t[1:], g_mid, a_mid, valid_pair),
-    )
+    if cfg.batched_deskew:
+        # Batched trail: the sequential pair walk above is a 16-trip XLA
+        # while loop of scalar f64 quaternion algebra (~1.9 ms/scan on a
+        # v5e). Identical gating via dt = 0 (quat_propagator(·, 0) is
+        # exactly I, so masked pairs contribute exact identity transitions
+        # to the orientation chain and zero increments to the prefix
+        # sums); only the per-step quaternion renormalization moves to the
+        # end of the chain (orthogonal propagators — ~1e-15 reordering).
+        head_t, tail_t = imu_t[:-1], imu_t[1:]
+        ok_b = valid_pair & (tail_t >= state.last_lidar_end_time)
+        dt_b = jnp.where(
+            head_t < state.last_lidar_end_time,
+            tail_t - state.last_lidar_end_time,
+            tail_t - head_t,
+        )
+        dt_b = jnp.where(ok_b, dt_b, 0.0)
+        A_b = lie.quat_propagator(g_mid - bga[None, :], -dt_b)  # (Mp,4,4)
+        Mk = jax.lax.associative_scan(
+            lambda a, b: lie.matmul_nowhile(b, a), A_b
+        )
+        q_raw = jnp.sum(Mk * q0[None, None, :], axis=-1)  # (Mp, 4)
+        quat_b = q_raw / jnp.linalg.norm(q_raw, axis=-1, keepdims=True)
+        rot_b = jax.vmap(lie.quat_to_rot)(quat_b)  # (Mp, 3, 3)
+        xa_b = a_mid / mean_acc_norm * GRAVITY
+        T_ab_b = bat[None, :] * xa_b - baa[None, :]
+        dv_b = (jnp.sum(rot_b * T_ab_b[:, None, :], axis=-1) + grav[None, :])
+        vel_b = vel0[None, :] + jnp.cumsum(dv_b * dt_b[:, None], axis=0)
+        pos_b = pos0[None, :] + jnp.cumsum(vel_b * dt_b[:, None], axis=0)
+        offset_b = jnp.where(
+            valid_pair,
+            jnp.where(ok_b, jnp.maximum(tail_t - pcl_beg_time, 0.0), 0.0),
+            jnp.inf,
+        )
+        quat_f, vel_f, pos_f = quat_b[-1], vel_b[-1], pos_b[-1]
+        trail = {
+            "offset": offset_b,
+            "acc": xa_b,
+            "gyr": g_mid,
+            "vel": vel_b,
+            "pos": pos_b,
+            "rot": rot_b,
+        }
+    else:
+        (quat_f, vel_f, pos_f), trail = jax.lax.scan(
+            pair_step,
+            (q0, vel0, pos0),
+            (imu_t[:-1], imu_t[1:], g_mid, a_mid, valid_pair),
+        )
 
     # head entry 0: the state at scan begin (populate_imu_pose(0.0), ekf.cpp:307)
     head0 = {
@@ -756,10 +814,15 @@ def motion_compensation_with_imu(
     # trail rows are packed into ONE f32 table instead; a single row gather
     # plus elementwise Rodrigues does the whole undistortion in f32 (the
     # compensation displacement is sub-metre; the output is f32 anyway).
-    offsets = trail["offset"]  # (M,) with inf on invalid entries
-    k = jnp.clip(jnp.searchsorted(offsets, rel_t, side="left") - 1, 0, offsets.shape[0] - 1)
+    # interval search + in-interval offset in f32: rel_t spans one scan
+    # period (<= ~0.1 s), where f32 resolution is ~6 ns — three orders
+    # below IMU timestamp jitter — while f64 per-point compares/subtracts
+    # on 131k points run as emulated f32-pair chains (measured ~1.3
+    # ms/scan of the LIO step on a v5e)
+    offsets = trail["offset"].astype(jnp.float32)  # (M,) inf on invalid
+    rel32 = rel_t.astype(jnp.float32)
+    k = jnp.clip(jnp.searchsorted(offsets, rel32, side="left") - 1, 0, offsets.shape[0] - 1)
     off0 = jnp.where(jnp.isfinite(offsets), offsets, 0.0)
-    dtp = (rel_t - off0[k]).astype(jnp.float32)
     table = jnp.concatenate(
         [
             trail["rot"].reshape(-1, 9),
@@ -767,11 +830,24 @@ def motion_compensation_with_imu(
         ],
         axis=1,
     ).astype(jnp.float32)  # (M, 21)
-    prm = table[k]  # ONE (N, 21) f32 row gather
-    R00, R01, R02 = prm[:, 0], prm[:, 1], prm[:, 2]
-    R10, R11, R12 = prm[:, 3], prm[:, 4], prm[:, 5]
-    R20, R21, R22 = prm[:, 6], prm[:, 7], prm[:, 8]
-    gx, gy, gz = prm[:, 9], prm[:, 10], prm[:, 11]
+    # per-point trail-row broadcast WITHOUT a (N, 21) row gather: slicing
+    # columns back out of a row-major (N, 21) gather re-reads every (8,128)
+    # tile of the table per column (measured 1.3 ms/scan at 131k points on
+    # a v5e). The trail is tiny (M ~ 17 rows), so a masked sum over the M
+    # static rows — one vectorized compare against `k` per row, scalar
+    # table entries broadcast — fuses into a single loop fusion that reads
+    # `k` once and writes the 22 SoA columns.
+    Mn = offsets.shape[0]
+    cols = [jnp.zeros_like(rel32) for _ in range(21)]
+    offp = jnp.zeros_like(rel32)
+    for i in range(Mn):
+        mi = (k == i).astype(jnp.float32)
+        offp = offp + mi * off0[i]
+        for j in range(21):
+            cols[j] = cols[j] + mi * table[i, j]
+    dtp = rel32 - offp
+    (R00, R01, R02, R10, R11, R12, R20, R21, R22,
+     gx, gy, gz) = cols[:12]
 
     wx, wy, wz = gx * dtp, gy * dtp, gz * dtp
     sq = wx * wx + wy * wy + wz * wz  # |w| <= |gyr| * scan_duration << 1
@@ -806,9 +882,9 @@ def motion_compensation_with_imu(
 
     ple = pos_lidar_end.astype(jnp.float32)
     h2 = 0.5 * dtp * dtp
-    Tx = prm[:, 12] + prm[:, 15] * dtp + prm[:, 18] * h2 + ix_ - ple[0]
-    Ty = prm[:, 13] + prm[:, 16] * dtp + prm[:, 19] * h2 + iy_ - ple[1]
-    Tz = prm[:, 14] + prm[:, 17] * dtp + prm[:, 20] * h2 + iz_ - ple[2]
+    Tx = cols[12] + cols[15] * dtp + cols[18] * h2 + ix_ - ple[0]
+    Ty = cols[13] + cols[16] * dtp + cols[19] * h2 + iy_ - ple[1]
+    Tz = cols[14] + cols[17] * dtp + cols[20] * h2 + iz_ - ple[2]
     cx2, cy2, cz2 = rx_ + Tx, ry_ + Ty, rz_ + Tz
     re = rot_end.astype(jnp.float32)
     deskewed = jnp.stack(

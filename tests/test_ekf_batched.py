@@ -129,3 +129,68 @@ class TestBatchedPredictParity:
         cfg = _cfg(trail=20)
         seq, bat = _both(_rand_state(cfg), _packet(12), cfg)
         _assert_close(seq, bat)
+
+
+class TestBatchedDeskew:
+    """Batched IMU-deskew trail (associative quaternion chain + prefix
+    sums) vs the sequential per-pair scan (round-5: the 16-trip while loop
+    measured ~1.9 ms/scan on a v5e). Same f64 math reordered; the deskewed
+    cloud and the carried filter state must agree to roundoff."""
+
+    def _run(self, batched, n_imu=12, n_pts=512, last_end=0.0, mask_tail=0):
+        cfg = _cfg(trail=2, batched_deskew=batched)
+        st = _rand_state(cfg)
+        st = st._replace(last_lidar_end_time=jnp.float64(last_end))
+        t = np.sort(RNG.uniform(1.0, 1.1, n_imu))
+        gyro = RNG.normal(0, 0.4, (n_imu, 3))
+        acc = RNG.normal([0, 0, 9.8], 0.3, (n_imu, 3))
+        mask = np.ones(n_imu, bool)
+        if mask_tail:
+            mask[-mask_tail:] = False
+        packet = ekf.ImuPacket(
+            time=jnp.asarray(t), gyro=jnp.asarray(gyro),
+            acc=jnp.asarray(acc), mask=jnp.asarray(mask),
+        )
+        pts = jnp.asarray(RNG.uniform(-8, 8, (n_pts, 3)).astype(np.float32))
+        rel_t = jnp.asarray(np.sort(RNG.uniform(0, 0.1, n_pts)))
+        return ekf.motion_compensation_with_imu(
+            st, packet, pts, rel_t, jnp.ones(n_pts, bool),
+            jnp.float64(9.8), jnp.float64(1.0), cfg,
+        )
+
+    def test_matches_sequential(self):
+        RNG.bit_generator.state = np.random.default_rng(5).bit_generator.state
+        s_seq, d_seq, g_seq = self._run(False)
+        RNG.bit_generator.state = np.random.default_rng(5).bit_generator.state
+        s_bat, d_bat, g_bat = self._run(True)
+        np.testing.assert_allclose(
+            np.asarray(d_bat), np.asarray(d_seq), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_bat["vel_end"]), np.asarray(g_seq["vel_end"]),
+            atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_bat["pos_end"]), np.asarray(g_seq["pos_end"]),
+            atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_bat["rot_end"]), np.asarray(g_seq["rot_end"]),
+            atol=1e-12,
+        )
+
+    def test_matches_sequential_masked_and_straddling(self):
+        """Padding tail + a scan boundary inside the packet (head pairs
+        clamped by last_lidar_end_time) must gate identically."""
+        RNG.bit_generator.state = np.random.default_rng(9).bit_generator.state
+        s_seq, d_seq, g_seq = self._run(False, last_end=1.03, mask_tail=3)
+        RNG.bit_generator.state = np.random.default_rng(9).bit_generator.state
+        s_bat, d_bat, g_bat = self._run(True, last_end=1.03, mask_tail=3)
+        np.testing.assert_allclose(
+            np.asarray(d_bat), np.asarray(d_seq), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_bat["pos_end"]), np.asarray(g_seq["pos_end"]),
+            atol=1e-10,
+        )
+        assert int(g_bat["n_pairs"]) == int(g_seq["n_pairs"])

@@ -288,6 +288,35 @@ class TestInMotionInit:
         err = np.linalg.norm(np.asarray(outs[-1].pose)[:3, 3] - gt_rel[:3, 3])
         assert err < 0.6, f"final tracking error {err:.3f} m"
 
+    def test_slow_in_motion_init_no_teleport(self):
+        """Init completing at LOW speed (below the old 2.5 m/s "moving"
+        gate) must still pin the EKF to the odometry frame: the round-5
+        drive found a 1.2 m/s init falling into the at-rest seed branch,
+        which left the nominal state at the origin while the vehicle was
+        ~1.5 m away — the next guess teleported (63 ICP iterations, 1.6 m
+        error) and velocity needed ~10 scans to recover from the zeroed
+        seed (models/ekf.initialize_from_odometry; PARITY.md #26)."""
+        cfg, gt, outs = self._drive_fast(speed=1.2)
+        used = np.asarray([o.used_imu for o in outs])
+        assert used.any()
+        first = int(np.argmax(used))
+        # the handoff scan must not teleport: error vs ground truth stays
+        # in the odometry's own noise band, and ICP converges quickly
+        gt_rel = np.linalg.inv(gt[0]) @ gt[min(first + 1, len(gt) - 1)]
+        err = np.linalg.norm(
+            np.asarray(outs[first].pose)[:3, 3] - gt_rel[:3, 3]
+        )
+        assert err < 0.4, f"post-seed scan teleported: {err:.3f} m"
+        assert int(outs[first].icp_iterations) < cfg.icp.max_iterations
+        # the seeded velocity is the odometry's, not zero
+        pos = gt[:, :3, 3]
+        v_gt = np.gradient(pos, 0.1 * np.arange(len(gt)), axis=0)
+        v_err = np.linalg.norm(
+            np.asarray(outs[first].velocity)
+            - v_gt[min(first + 1, len(gt) - 1)]
+        )
+        assert v_err < 0.5, f"seed velocity error {v_err:.2f} m/s"
+
     def test_gravity_converges_and_velocity_bounded(self):
         cfg, gt, outs = self._drive_fast()
         used = np.asarray([o.used_imu for o in outs])
