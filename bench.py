@@ -248,11 +248,12 @@ def _make_cfg(points_per_scan, gn_backend="pallas"):
 def main():
     from lidar_imu_slam_tpu.host import synthetic
 
-    # 60 scans: the chained/device-pipelined modes pay a FIXED ~90 ms of
-    # host dispatch + final sync through the axon tunnel per measurement;
-    # at 20 scans that fixed cost was ~4.5 ms/scan of pure harness
-    # overhead. Render is ~0.1 s/scan (cached in /tmp after first run).
-    n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    # 120 scans: the chained/device-pipelined modes pay a FIXED ~45-90 ms
+    # of host dispatch + final sync through the axon tunnel per
+    # measurement; at 60 scans that fixed cost was still ~0.6 ms/scan of
+    # pure harness overhead on a ~2.5 ms/scan pipeline. Render is
+    # ~0.1 s/scan (cached in /tmp after first run).
+    n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 120
     n_streams = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     mc_streams = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     points_per_scan = 131072  # HDL-64E scale
@@ -308,7 +309,9 @@ def main():
 
     # --- 3. multi-stream AND device-pipelined (vmap inside lax.scan) ------
     def mode_batched_chained():
-        rate = _bench_batched_chained(cfg, raws, n_scans, n_streams)
+        # capped at 60 scans: the device-side (block, S, scan...) windows
+        # cost S x the single-stream block memory
+        rate = _bench_batched_chained(cfg, raws[:60], min(n_scans, 60), n_streams)
         _CANDIDATES["batched_chained"] = rate
         _emit(
             multi_stream_pipelined_scans_per_sec=round(rate, 2),
@@ -397,8 +400,12 @@ def _bench_chained(cfg, raws, n_scans, block: int = _BLOCK):
     from lidar_imu_slam_tpu.ops import voxel_map
     from lidar_imu_slam_tpu.ops.preprocess import preprocess_scan
 
+    # map maintenance (evict + conditional rebuild) at BLOCK boundaries:
+    # a per-scan evict is a full key sweep + whole-slab rewrite; over one
+    # block the pose moves ~v*dt*block (a few metres of eviction
+    # hysteresis, see MapConfig.auto_evict)
     body_cfg = cfg.replace(
-        map=dataclasses.replace(cfg.map, auto_rebuild=False)
+        map=dataclasses.replace(cfg.map, auto_rebuild=False, auto_evict=False)
     )
     blocks = [
         jax.device_put(
@@ -415,13 +422,16 @@ def _bench_chained(cfg, raws, n_scans, block: int = _BLOCK):
             return st, out.pose
 
         state, poses = jax.lax.scan(body, state, stacked)
+        new_map = voxel_map.evict_far(
+            state.map, state.pose[:3, 3].astype(jnp.float32), cfg.map
+        )
         cap = cfg.map.capacity
-        need = (state.map.next_slot > cap - cap // 4) & (
-            state.map.tombstones > cap // 16
+        need = (new_map.next_slot > cap - cap // 4) & (
+            new_map.tombstones > cap // 16
         )
         new_map = jax.lax.cond(
             need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
-            state.map,
+            new_map,
         )
         return state._replace(map=new_map), poses
 
@@ -587,7 +597,7 @@ def _bench_lio(cfg, raws, n_scans, block: int = _BLOCK):
         ),
     )
     body_cfg = cfg.replace(
-        map=dataclasses.replace(cfg.map, auto_rebuild=False)
+        map=dataclasses.replace(cfg.map, auto_rebuild=False, auto_evict=False)
     )
     cap = cfg.imu.max_samples_per_scan
 
@@ -626,13 +636,16 @@ def _bench_lio(cfg, raws, n_scans, block: int = _BLOCK):
             return st, (out.pose, out.icp_iterations)
 
         state, (poses, iters) = jax.lax.scan(body, state, stacked)
+        new_map = voxel_map.evict_far(
+            state.odo.map, state.odo.pose[:3, 3].astype(jnp.float32), cfg.map
+        )
         capn = cfg.map.capacity
-        need = (state.odo.map.next_slot > capn - capn // 4) & (
-            state.odo.map.tombstones > capn // 16
+        need = (new_map.next_slot > capn - capn // 4) & (
+            new_map.tombstones > capn // 16
         )
         new_map = jax.lax.cond(
             need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
-            state.odo.map,
+            new_map,
         )
         return state._replace(odo=state.odo._replace(map=new_map)), (poses, iters)
 

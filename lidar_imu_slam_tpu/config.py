@@ -125,6 +125,15 @@ class MapConfig:
     # stream batches (parallel.streams.batch_config does) — a batched
     # predicate lowers cond to select and both branches would run per scan.
     auto_rebuild: bool = True
+    # Per-scan far-voxel eviction inside the step (reference
+    # voxel_hash_map.cpp:155-170 runs it per update). The default-path
+    # evict is a full key sweep + whole-slab rewrite (~0.2 ms/scan at
+    # 131k slots on a v5e); device-pipelined drivers disable it and run
+    # `evict_far` at block boundaries instead (the pose moves ~v*dt*block
+    # between sweeps — a few metres of eviction hysteresis; fetch-side
+    # distance gating keeps correspondences correct either way, the map
+    # just briefly retains an out-of-range shell).
+    auto_evict: bool = True
     # Static cap on DISTINCT map voxels touched per insert (0 = no cap).
     # When set below the insert's row count, `insert_grouped` compacts the
     # group heads to this width and runs every per-voxel access (grid

@@ -183,7 +183,8 @@ def register_core(
         voxel_map.voxel_of(g.points, cfg.map.voxel_size)
     )
     new_map = voxel_map.insert_grouped(m, g_corr, cfg.map, keys=pre_keys)
-    new_map = voxel_map.evict_far(new_map, new_pose[:3, 3], cfg.map)
+    if cfg.map.auto_evict:
+        new_map = voxel_map.evict_far(new_map, new_pose[:3, 3], cfg.map)
 
     # device-side slab compaction: the bump allocator reclaims evicted
     # (tombstoned) slots only through `rebuild`; without this, a map under
@@ -334,7 +335,8 @@ def _fast_trunk(
         voxel_map.voxel_of(g.points, cfg.map.voxel_size)
     )
     new_map = voxel_map.insert_grouped(m, g_corr, cfg.map, keys=pre_keys)
-    new_map = voxel_map.evict_far(new_map, prow[9:12], cfg.map)
+    if cfg.map.auto_evict:
+        new_map = voxel_map.evict_far(new_map, prow[9:12], cfg.map)
     if cfg.map.auto_rebuild:
         cap = cfg.map.capacity
         need = (new_map.next_slot > cap - cap // 8) & (

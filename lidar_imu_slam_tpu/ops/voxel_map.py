@@ -68,6 +68,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 
 from ..config import MapConfig
 
@@ -281,6 +282,188 @@ def unpack_key_rel(key: jnp.ndarray, origin_vox: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out, axis=-1).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Flat-under-vmap table access
+# ---------------------------------------------------------------------------
+# XLA TPU lowers BATCHED gather/scatter (vmap over per-stream map tables)
+# far off the fast path: measured at 8 streams x 64-beam scale on a v5e,
+# the batched grid gather cost ~3x the flat per-access floor plus a
+# whole-table relayout copy, and the batched grid scatter serialized into
+# a while loop of full-grid dynamic-update-slices (~7 ms/step on a 268 MB
+# batched grid). These custom_vmap helpers keep the UNBATCHED op exactly
+# as written, and rewrite the BATCHED case as the same flat 1-D op on an
+# (S*G, ...) view with stream-offset indices. Leading-dim merges are
+# layout-free (every table's dim-1 is a multiple of the sublane tile), so
+# the batched op meets the same ~8 ns/access floor as the flat one.
+# Stream-offset indices are i32: S * G must stay below 2^31 (8 x 2^23
+# grid = 2^26; 256 MC streams x 2^19 = 2^27 — ample).
+
+
+def _stream_offsets(idx, S, G):
+    off = jnp.arange(S, dtype=idx.dtype).reshape((S,) + (1,) * (idx.ndim - 1))
+    return off * jnp.asarray(G, idx.dtype)
+
+
+@custom_vmap
+def table_gather(table, idx):
+    """table[idx] over axis 0 (jnp clamp semantics for OOB indices)."""
+    return table[idx]
+
+
+@table_gather.def_vmap
+def _table_gather_vmap(axis_size, in_batched, table, idx):
+    tb, ib = in_batched
+    if not tb:
+        return table[idx], ib
+    S, G = table.shape[0], table.shape[1]
+    flat = table.reshape((S * G,) + table.shape[2:])
+    if not ib:
+        idx = jnp.broadcast_to(idx[None], (S,) + idx.shape)
+    idx = jnp.clip(idx, 0, G - 1)  # preserve the unbatched clamp semantics
+    # strictly 1-D indices: any leftover batch dim on the index array
+    # re-enters the slow batched-gather lowering this helper exists to
+    # avoid (the output reshape back to (S, ...) is a free view)
+    fi = (idx + _stream_offsets(idx, S, G)).reshape(-1)
+    return flat[fi].reshape(idx.shape + table.shape[2:]), True
+
+
+@custom_vmap
+def table_row_gather(table, idx):
+    """(K, N) row gather from a (C, K) slab, slice dim first (no relayout)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    return jax.lax.gather(
+        table, idx[:, None], dimension_numbers=dn,
+        slice_sizes=(1, table.shape[-1]),
+    )
+
+
+@table_row_gather.def_vmap
+def _table_row_gather_vmap(axis_size, in_batched, table, idx):
+    tb, ib = in_batched
+    dn_ = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    if not tb:
+        # shared slab, batched indices: one flat gather over combined rows
+        C, K = table.shape
+        S, n = idx.shape
+        fi = jnp.clip(idx, 0, C - 1).reshape(-1)
+        out = jax.lax.gather(
+            table, fi[:, None], dimension_numbers=dn_, slice_sizes=(1, K)
+        )
+        return jnp.moveaxis(out.reshape(K, S, n), 1, 0), True
+    S, C, K = table.shape
+    flat = table.reshape(S * C, K)
+    if not ib:
+        idx = jnp.broadcast_to(idx[None], (S,) + idx.shape)
+    n = idx.shape[-1]
+    fi = (jnp.clip(idx, 0, C - 1) + _stream_offsets(idx, S, C)).reshape(-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    out = jax.lax.gather(
+        flat, fi[:, None], dimension_numbers=dn, slice_sizes=(1, K)
+    )  # (K, S*n)
+    return jnp.moveaxis(out.reshape(K, S, n), 1, 0), True
+
+
+def _scatter_flat(table, idx, vals, op):
+    S, G = table.shape[0], table.shape[1]
+    flat = table.reshape((S * G,) + table.shape[2:])
+    ok = (idx >= 0) & (idx < G)
+    gi = jnp.where(ok, idx + _stream_offsets(idx, S, G), S * G)
+    # strictly 1-D index/update arrays (see table_gather's vmap rule)
+    upd = getattr(flat.at[gi.reshape(-1)], op)(
+        vals.reshape((-1,) + vals.shape[idx.ndim:]), mode="drop"
+    )
+    return upd.reshape(table.shape)
+
+
+def _scatter_rule(op):
+    def rule(axis_size, in_batched, table, idx, vals):
+        tb, ib, vb = in_batched
+        if not tb:
+            # shared-table batched scatter: not used on any hot path
+            return (
+                jax.vmap(
+                    lambda i, v: getattr(table.at[i], op)(v, mode="drop"),
+                    in_axes=(0 if ib else None, 0 if vb else None),
+                )(idx, vals),
+                True,
+            )
+        S = table.shape[0]
+        if not ib:
+            idx = jnp.broadcast_to(idx[None], (S,) + idx.shape)
+        if not vb:
+            vals = jnp.broadcast_to(vals[None], (S,) + vals.shape)
+        return _scatter_flat(table, idx, vals, op), True
+
+    return rule
+
+
+@custom_vmap
+def table_scatter_set(table, idx, vals):
+    """table.at[idx].set(vals, mode="drop") along axis 0; any OOB index
+    (the callers' drop sentinel is idx == len(table)) drops the update."""
+    return table.at[idx].set(vals, mode="drop")
+
+
+table_scatter_set.def_vmap(_scatter_rule("set"))
+
+
+@custom_vmap
+def table_scatter_max(table, idx, vals):
+    return table.at[idx].max(vals, mode="drop")
+
+
+table_scatter_max.def_vmap(_scatter_rule("max"))
+
+
+def _scatter2_flat(table, row, col, vals, op):
+    S, C = table.shape[0], table.shape[1]
+    flat = table.reshape((S * C,) + table.shape[2:])
+    ok = (row >= 0) & (row < C)
+    ri = jnp.where(ok, row + _stream_offsets(row, S, C), S * C)
+    # strictly 1-D index/update arrays (see table_gather's vmap rule)
+    upd = getattr(flat.at[ri.reshape(-1), col.reshape(-1)], op)(
+        vals.reshape(-1), mode="drop"
+    )
+    return upd.reshape(table.shape)
+
+
+def _scatter2_rule(op):
+    def rule(axis_size, in_batched, table, row, col, vals):
+        tb = in_batched[0]
+        if not tb:
+            return (
+                jax.vmap(
+                    lambda r, c, v: getattr(table.at[r, c], op)(v, mode="drop"),
+                    in_axes=tuple(0 if b else None for b in in_batched[1:]),
+                )(row, col, vals),
+                True,
+            )
+        S = table.shape[0]
+        row, col, vals = (
+            a if b else jnp.broadcast_to(a[None], (S,) + a.shape)
+            for a, b in ((row, in_batched[1]), (col, in_batched[2]), (vals, in_batched[3]))
+        )
+        return _scatter2_flat(table, row, col, vals, op), True
+
+    return rule
+
+
+@custom_vmap
+def table_scatter2_set(table, row, col, vals):
+    """table.at[row, col].set(vals, mode="drop") on a (C, K) slab; an OOB
+    row (the callers' drop sentinel is row == C) drops the update."""
+    return table.at[row, col].set(vals, mode="drop")
+
+
+table_scatter2_set.def_vmap(_scatter2_rule("set"))
+
+
 def _lookup(m: "VoxelMap", qkeys: jnp.ndarray, qvalid: jnp.ndarray,
             cfg: MapConfig):
     """Grid-cell lookup with in-cell fingerprint verification (v4).
@@ -294,7 +477,7 @@ def _lookup(m: "VoxelMap", qkeys: jnp.ndarray, qvalid: jnp.ndarray,
     that their rows are empty — the slot itself still resolves, and its
     +inf/sentinel rows make fetches see no candidates)."""
     sb = _slot_bits(cfg)
-    cell = m.grid[grid_pos(qkeys, cfg)]
+    cell = table_gather(m.grid, grid_pos(qkeys, cfg))
     ok = qvalid & (cell >= 0) & ((cell >> sb) == _fp_of(qkeys, cfg))
     return jnp.where(ok, cell & ((1 << sb) - 1), jnp.int32(-1))
 
@@ -380,7 +563,7 @@ def first_point_per_voxel(points, mask, voxel_size: float, out_capacity: int):
         jnp.sort(packed2)[:out_capacity] & ((1 << _IDX_BITS) - 1)
     ).astype(jnp.int32)
     out_mask = jnp.arange(out_capacity, dtype=jnp.int32) < n_unique
-    out = jnp.where(out_mask[:, None], points[idx_sel], 0.0)
+    out = jnp.where(out_mask[:, None], table_gather(points, idx_sel), 0.0)
     return out, out_mask, n_unique, window_drops
 
 
@@ -508,7 +691,7 @@ def fused_downsample(points, mask, voxel_size: float, out_capacity: int,
     head_sel = ((sorted2 >> 19) & ((1 << 18) - 1)).astype(jnp.int32)
     oidx_sel = ((sorted2 >> 37) & ((1 << 18) - 1)).astype(jnp.int32)
 
-    out_pts = points[idx_sel].astype(jnp.float32)
+    out_pts = table_gather(points, idx_sel).astype(jnp.float32)
     out_mask = jnp.arange(out_capacity, dtype=jnp.int32) < n_unique
     out_head = cfirst_sel & out_mask
     out_head_pos = jnp.minimum(head_sel, out_capacity - 1)
@@ -679,12 +862,7 @@ def gather_candidate_planes_packed(m: VoxelMap, queries, qmask,
     slots = _lookup(m, nkeys, nvalid, cfg)  # (NB*N,)
     present = slots >= 0
     safe = jnp.where(present, slots, 0)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,)
-    )
-    pk = jax.lax.gather(
-        m.packed, safe[:, None], dimension_numbers=dn, slice_sizes=(1, kn)
-    )  # (Kp, NB*N) — slice dim first: no relayout
+    pk = table_row_gather(m.packed, safe)  # (Kp, NB*N) — slice dim first
     pk = jnp.where(present[None, :], pk, _PK_SENT32)
     # voxel-local decode: each candidate's reference voxel IS the neighbor
     # voxel queried (`nbr` — the lookup key-verified it), so its world
@@ -857,12 +1035,12 @@ def _insert_grouped_compact(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
     capped = jnp.maximum(n_heads_total - h_cap, 0)
 
     safe_row = jnp.minimum(heads_idx, mrows - 1)
-    keys_h = jnp.where(valid_h, keys[safe_row], 0)
+    keys_h = jnp.where(valid_h, table_gather(keys, safe_row), 0)
     fp_h = _fp_of(keys_h, cfg)
     gp_h = grid_pos(keys_h, cfg)
 
     # find (head-width gather 1)
-    cell = m.grid[jnp.where(valid_h, gp_h, 0)]
+    cell = table_gather(m.grid, jnp.where(valid_h, gp_h, 0))
     found = valid_h & (cell >= 0) & ((cell >> sb) == fp_h)
     missing = valid_h & ~found
     rank_m = jnp.cumsum(missing.astype(jnp.int32)) - 1
@@ -876,29 +1054,29 @@ def _insert_grouped_compact(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
         found, cell & ((1 << sb) - 1), jnp.where(alloc, cand_slot, -1)
     )
     ok_head = valid_h & (head_slot >= 0)
-    new_grid = m.grid.at[jnp.where(alloc, gp_h, gsize_all)].set(
-        (fp_h << sb) | cand_slot, mode="drop"
+    new_grid = table_scatter_set(
+        m.grid, jnp.where(alloc, gp_h, gsize_all), (fp_h << sb) | cand_slot
     )
-    new_keys = m.keys.at[jnp.where(ok_head, head_slot, capacity)].set(
-        keys_h, mode="drop"
+    new_keys = table_scatter_set(
+        m.keys, jnp.where(ok_head, head_slot, capacity), keys_h
     )
 
     # per-head base count (head-width gather 2) + group size from row spans
     slot_safe = jnp.where(ok_head, head_slot, 0)
-    base_h = jnp.where(ok_head, m.npts[slot_safe], 0)
+    base_h = jnp.where(ok_head, table_gather(m.npts, slot_safe), 0)
     n_valid_rows = jnp.sum(g.mask, dtype=jnp.int32)
     next_row = jnp.minimum(heads_ext[1:], n_valid_rows)
     gsize = jnp.maximum(next_row - heads_idx, 0)
     new_count = jnp.minimum(base_h + gsize, k)
-    new_npts = m.npts.at[jnp.where(ok_head, head_slot, capacity)].max(
-        new_count, mode="drop"
+    new_npts = table_scatter_max(
+        m.npts, jnp.where(ok_head, head_slot, capacity), new_count
     )
 
     # members: head ordinal by running count, ONE row-width gather of the
     # packed per-head info (slot 17b | base 4b | ok 1b fits i32: sb <= 26)
     info_h = (head_slot << 5) | (base_h << 1) | ok_head.astype(jnp.int32)
     h_ord = jnp.cumsum(active_head.astype(jnp.int32)) - 1
-    info = info_h[jnp.clip(h_ord, 0, h_cap - 1)]
+    info = table_gather(info_h, jnp.clip(h_ord, 0, h_cap - 1))
     ok = (
         g.mask & (h_ord >= 0) & (h_ord < h_cap) & ((info & 1) == 1)
     )
@@ -911,15 +1089,15 @@ def _insert_grouped_compact(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
     new_points = m.points
     if m.points.size:
         for c in range(3):
-            new_points = new_points.at[row, pos * 3 + c].set(
-                g.points[:, c], mode="drop"
+            new_points = table_scatter2_set(
+                new_points, row, pos * 3 + c, g.points[:, c]
             )
     if cfg.packed_nn:
         pk = _pk_encode(
             g.points[:, 0], g.points[:, 1], g.points[:, 2],
             keys, cfg.voxel_size,
         )
-        new_packed = m.packed.at[row, pos].set(pk, mode="drop")
+        new_packed = table_scatter2_set(m.packed, row, pos, pk)
     else:
         new_packed = m.packed
     return VoxelMap(new_keys, new_points, new_npts,
@@ -969,7 +1147,7 @@ def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
 
     # find (gather 1): heads probe their cell
     active_head = g.head & g.mask
-    cell = m.grid[gp]
+    cell = table_gather(m.grid, gp)
     found = active_head & (cell >= 0) & ((cell >> sb) == fp)
     missing = active_head & ~found
 
@@ -988,20 +1166,20 @@ def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
     # allocated heads write their cell (also self-heals a fingerprint-
     # mismatching stale cell by overwriting it); keys are written for ALL
     # ok heads so a resurrected tombstoned slot flips DELETED -> key
-    new_grid = m.grid.at[jnp.where(alloc, gp, gsize)].set(
-        (fp << sb) | cand_slot, mode="drop"
+    new_grid = table_scatter_set(
+        m.grid, jnp.where(alloc, gp, gsize), (fp << sb) | cand_slot
     )
-    new_keys = m.keys.at[jnp.where(ok_head, head_slot, capacity)].set(
-        keys, mode="drop"
+    new_keys = table_scatter_set(
+        m.keys, jnp.where(ok_head, head_slot, capacity), keys
     )
 
     # resolve (gather 2): every row through the updated grid. Group keys
     # are shared within a group, so members land on their head's cell.
-    cell2 = new_grid[gp]
+    cell2 = table_gather(new_grid, gp)
     ok = g.mask & (cell2 >= 0) & ((cell2 >> sb) == fp)
     slot = jnp.where(ok, cell2 & ((1 << sb) - 1), 0)
     # base (gather 3): pre-insert per-slot count
-    base = jnp.where(ok, m.npts[slot], 0)
+    base = jnp.where(ok, table_gather(m.npts, slot), 0)
     pos = base + g.rank
     ok = ok & (pos < k)
     row = jnp.where(ok, slot, capacity)  # OOB row drops the update
@@ -1009,10 +1187,10 @@ def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
     new_points = m.points
     if m.points.size:  # store_points=False skips the f32 mirror entirely
         for c in range(3):
-            new_points = new_points.at[row, pos * 3 + c].set(
-                g.points[:, c], mode="drop"
+            new_points = table_scatter2_set(
+                new_points, row, pos * 3 + c, g.points[:, c]
             )
-    new_npts = m.npts.at[row].max(pos + 1, mode="drop")
+    new_npts = table_scatter_max(m.npts, row, pos + 1)
     if cfg.packed_nn:
         # mirror into the packed-point NN slab at the same (slot, pos),
         # limited to the first Kp points per voxel. Encode against the
@@ -1024,7 +1202,7 @@ def insert_grouped(m: VoxelMap, g: GroupedCloud, cfg: MapConfig,
             g.points[:, 0], g.points[:, 1], g.points[:, 2],
             keys, cfg.voxel_size,
         )
-        new_packed = m.packed.at[row, pos].set(pk, mode="drop")
+        new_packed = table_scatter2_set(m.packed, row, pos, pk)
     else:
         new_packed = m.packed
     return VoxelMap(new_keys, new_points, new_npts,

@@ -184,7 +184,7 @@ def _chain_setup(block: int = 11):
 
     cfg = make_cfg()
     body_cfg = cfg.replace(
-        map=dataclasses.replace(cfg.map, auto_rebuild=False)
+        map=dataclasses.replace(cfg.map, auto_rebuild=False, auto_evict=False)
     )
     z = _ensure_cache()
     raws = []
@@ -208,13 +208,14 @@ def _chain_setup(block: int = 11):
             return st, (out.pose, out.icp_iterations)
 
         state, outs = jax.lax.scan(body, state, stacked)
+        new_map = voxel_map.evict_far(state.map, state.pose[:3, 3], cfg.map)
         cap = cfg.map.capacity
-        need = (state.map.next_slot > cap - cap // 4) & (
-            state.map.tombstones > cap // 16
+        need = (new_map.next_slot > cap - cap // 4) & (
+            new_map.tombstones > cap // 16
         )
         new_map = jax.lax.cond(
             need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
-            state.map,
+            new_map,
         )
         return state._replace(map=new_map), outs
 
@@ -277,7 +278,7 @@ def _lio_chain_setup(block: int = 11):
         ),
     )
     body_cfg = cfg.replace(
-        map=dataclasses.replace(cfg.map, auto_rebuild=False)
+        map=dataclasses.replace(cfg.map, auto_rebuild=False, auto_evict=False)
     )
     cap = cfg.imu.max_samples_per_scan
 
@@ -322,13 +323,16 @@ def _lio_chain_setup(block: int = 11):
             return st, out.pose
 
         state, poses = jax.lax.scan(body, state, stacked)
+        new_map = voxel_map.evict_far(
+            state.odo.map, state.odo.pose[:3, 3], cfg.map
+        )
         capn = cfg.map.capacity
-        need = (state.odo.map.next_slot > capn - capn // 4) & (
-            state.odo.map.tombstones > capn // 16
+        need = (new_map.next_slot > capn - capn // 4) & (
+            new_map.tombstones > capn // 16
         )
         new_map = jax.lax.cond(
             need, lambda mm: voxel_map.rebuild(mm, cfg.map), lambda mm: mm,
-            state.odo.map,
+            new_map,
         )
         return state._replace(odo=state.odo._replace(map=new_map)), poses
 
