@@ -272,6 +272,13 @@ def main():
             _mark(f"{name} done")
         except Exception:
             _mark(f"{name} FAILED\n{traceback.format_exc()}")
+        # drop the mode's device blocks before the next mode compiles:
+        # lingering HBM pressure from a prior mode measurably drags the
+        # next (LIO ran 8% slower after chained without this, and ~35%
+        # slower later in the full sequence)
+        import gc
+
+        gc.collect()
 
     # --- 1. device-pipelined (headline) + ATE + device latency ------------
     def mode_chained():
