@@ -442,6 +442,46 @@ def predict(
     )
 
 
+def predict_mean(
+    state: EkfState,
+    t,
+    xg,
+    xa,
+    calc_grav,
+    trans_lidar_imu,
+    rot_lidar_imu,
+    cfg: EkfConfig,
+) -> EkfState:
+    """Mean-only forward extrapolation: `predict` without the covariance
+    propagation. This is the reference's frame-end extrapolation semantics
+    (ekf.cpp:393-410 extrapolates the nominal trail, never the filter
+    covariance); used for the <= one-IMU-period scan-end hold in
+    models/lio.py, where the full Fx/Fw build + three 30-dim emulated
+    matmuls cost ~0.4 ms/scan for a covariance change of O(Q * 10 ms)."""
+    dt = jnp.where(state.first_sample, 0.0, t - state.prev_sample_t)
+    new_time = jnp.where(state.first_sample, state.time, t - state.first_sample_t)
+    first_sample_t = jnp.where(state.first_sample, t, state.first_sample_t)
+
+    def do_predict(m):
+        w = xg - m[BGA:BGA + 3]
+        A = lie.quat_propagator(w, dt)
+        q_next = A @ m[ORI:ORI + 4]
+        R = lie.quat_to_rot(q_next)
+        m2, _, _ = _propagate_mean(
+            m, A, R, rot_lidar_imu, trans_lidar_imu, dt, calc_grav, xa, cfg
+        )
+        return m2
+
+    m = jax.lax.cond(dt <= 0.0, lambda m: m, do_predict, state.m)
+    return state._replace(
+        m=m,
+        time=new_time,
+        first_sample_t=first_sample_t,
+        prev_sample_t=t,
+        first_sample=jnp.asarray(False),
+    )
+
+
 def normalize_quaternions(state: EkfState, cfg: EkfConfig, only_current: bool = False) -> EkfState:
     """Reference ekf.cpp:619-634."""
     m = state.m

@@ -163,7 +163,10 @@ def step(
         # ~1 m/s per scan above truth on the 8 m/s bench).
         nv = jnp.sum(full.mask, dtype=jnp.int32)
         li = jnp.maximum(nv - 1, 0)
-        ekf_state = ekf_mod.predict(
+        # mean-only: the reference's frame-end extrapolation never touches
+        # the covariance (ekf.cpp:393-410), and the hold spans at most one
+        # IMU period
+        ekf_state = ekf_mod.predict_mean(
             ekf_state, scan.t_end, full.gyro[li], full.acc[li],
             ekf_state.m[ekf_mod.GRAV_I:ekf_mod.GRAV_I + 3],
             p_il, R_il, cfg.ekf,
